@@ -1,0 +1,168 @@
+"""MIND dataset processor.
+
+Parity: reference processor/mind_processor.py — parses MIND TSVs
+(news.tsv: nid/category/subcategory/title/abstract;
+behaviors.tsv: imp_id/uid/time/history/impressions "nid-click"), explodes
+impressions into interaction rows (mind_processor.py:160-185), cleans
+histories (:137-157) and splits 10% of train users into validation
+(:187-207). Tokenization: whitespace word tokenizer feeding a growable
+vocab (GloVe path); HF tokenizers (bert/llama) are optional extras wired
+through `extra_tokenizers`.
+"""
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from legommenders_tpu.data.processors.base import BaseProcessor
+from legommenders_tpu.data.token_store import TokenStore, UNSET
+from legommenders_tpu.data.vocab import Vocab
+from legommenders_tpu.utils.registry import PROCESSORS
+
+
+@PROCESSORS.register
+class MINDProcessor(BaseProcessor):
+    name = "mind"
+    title_len = 30
+    abstract_len = 50
+    history_len = 50
+    valid_user_frac = 0.1
+
+    def __init__(self, raw_dir=None, save_dir=None, seed: int = 2023,
+                 extra_tokenizers: Optional[Dict] = None):
+        super().__init__(raw_dir, save_dir)
+        self.seed = seed
+        self.extra_tokenizers = extra_tokenizers or {}
+
+    # ------------------------------------------------------------------
+    def _read_news(self, path: str) -> Tuple[List[str], List[dict]]:
+        nids, rows = [], []
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 5:
+                    continue
+                nid, cat, subcat, title, abstract = parts[:5]
+                nids.append(nid)
+                rows.append(dict(cat=cat, subcat=subcat, title=title,
+                                 abstract=abstract))
+        return nids, rows
+
+    def _read_behaviors(self, path: str):
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 5:
+                    continue
+                imp_id, uid, _time, history, impressions = parts[:5]
+                yield imp_id, uid, history.split(), impressions.split()
+
+    # ------------------------------------------------------------------
+    def build(self) -> Dict[str, TokenStore]:
+        train_dir = os.path.join(self.raw_dir, "train")
+        test_dir = os.path.join(self.raw_dir, "dev")  # MIND-small: dev == test split
+
+        # ---- items -----------------------------------------------------
+        item_vocab = Vocab("item_id", tokens=[])
+        news: Dict[str, dict] = {}
+        for d in (train_dir, test_dir):
+            npath = os.path.join(d, "news.tsv")
+            if os.path.isfile(npath):
+                nids, rows = self._read_news(npath)
+                for nid, row in zip(nids, rows):
+                    if nid not in news:
+                        item_vocab.add(nid)
+                        news[nid] = row
+
+        ordered = [news[t] for t in item_vocab.tokens]
+        word_vocab = Vocab("word", tokens=[])
+        cat_vocab = Vocab("category", tokens=[])
+        subcat_vocab = Vocab("subcategory", tokens=[])
+
+        items = TokenStore(vocab_hub=self.vocab_hub, key_col="item_id")
+        items.add_seq_column(
+            "title",
+            self.tokenize_texts([r["title"] for r in ordered], word_vocab,
+                                self.title_len),
+            word_vocab, self.title_len)
+        items.add_seq_column(
+            "abstract",
+            self.tokenize_texts([r["abstract"] for r in ordered], word_vocab,
+                                self.abstract_len),
+            word_vocab, self.abstract_len)
+        items.add_scalar_column(
+            "category", [cat_vocab.add(r["cat"]) for r in ordered], cat_vocab)
+        items.add_scalar_column(
+            "subcategory", [subcat_vocab.add(r["subcat"]) for r in ordered],
+            subcat_vocab)
+        items.add_scalar_column(
+            "item_id", np.arange(len(ordered), dtype=np.int32), item_vocab)
+
+        for name, (tok_fn, max_len) in self.extra_tokenizers.items():
+            items.add_seq_column(
+                f"title@{name}",
+                [tok_fn(r["title"])[:max_len] for r in ordered],
+                Vocab(name, tokens=None).set_size(0), max_len)
+
+        # ---- users + interactions --------------------------------------
+        user_vocab = Vocab("user_id", tokens=[])
+        histories: Dict[int, List[int]] = {}
+        rows = {"train": [], "test": []}
+        imp_counter = 0
+        for phase, d in (("train", train_dir), ("test", test_dir)):
+            bpath = os.path.join(d, "behaviors.tsv")
+            if not os.path.isfile(bpath):
+                continue
+            for _imp, uid, hist, imps in self._read_behaviors(bpath):
+                u = user_vocab.add(uid)
+                if u not in histories:
+                    histories[u] = [item_vocab[h] for h in hist
+                                    if h in item_vocab][-self.history_len:]
+                imp_counter += 1
+                for imp in imps:
+                    if "-" not in imp:
+                        continue
+                    nid, click = imp.rsplit("-", 1)
+                    if nid in item_vocab:
+                        rows[phase].append(
+                            (u, item_vocab[nid], int(click), imp_counter))
+
+        U = len(user_vocab)
+        users = TokenStore(vocab_hub=self.vocab_hub, key_col="user_id")
+        users.add_scalar_column("user_id", np.arange(U, dtype=np.int32),
+                                user_vocab)
+        users.add_seq_column(
+            "history", [histories.get(u, []) for u in range(U)],
+            item_vocab, self.history_len)
+
+        # 10% user split for validation (mind_processor.py:187-207)
+        rng = np.random.default_rng(self.seed)
+        valid_users = set(
+            rng.choice(U, size=max(1, int(U * self.valid_user_frac)),
+                       replace=False).tolist())
+        train_rows = [r for r in rows["train"] if r[0] not in valid_users]
+        valid_rows = [r for r in rows["train"] if r[0] in valid_users]
+
+        def make_store(rws):
+            arr = np.asarray(rws, np.int32) if rws else np.zeros((0, 4), np.int32)
+            st = TokenStore(vocab_hub=self.vocab_hub)
+            st.add_scalar_column("user_id", arr[:, 0], user_vocab)
+            st.add_scalar_column("item_id", arr[:, 1], item_vocab)
+            st.add_scalar_column("click", arr[:, 2])
+            st.add_scalar_column("imp_id", arr[:, 3])
+            return st
+
+        stores = {
+            "items": items,
+            "users": users,
+            "train": make_store(train_rows),
+            "valid": make_store(valid_rows),
+            "test": make_store(rows["test"]),
+        }
+        negs = self.aggregate_negatives(
+            U, [stores["train"], stores["valid"]],
+            "user_id", "item_id", "click", self.max_neg_store)
+        users.add_seq_column(
+            "neg", [[x for x in row if x != UNSET] for row in negs],
+            item_vocab, negs.shape[1])
+        return stores
