@@ -1,0 +1,77 @@
+"""Benchmark: train throughput (impressions/sec/chip) on the flagship model.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference handbook NAML run implies ~15k train samples/sec on
+Apple-M MPS (BASELINE.md) — the only concrete published number.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.data.pipeline import Prefetcher
+    from legommenders_tpu.runtime.manager import Manager
+    from legommenders_tpu.runtime.steps import init_params, make_train_step
+
+    # MIND-small-like scale: NAML geometry from the reference handbook run
+    # (hidden 64, batch 64 in the log; we use a TPU-friendly batch 256)
+    data = SyntheticProcessor(
+        num_items=5000, num_users=2000, title_len=30, history_len=50,
+        vocab_size=20000, inters_per_user=12).as_lego_data()
+    model_cfg = {
+        "name": "NAML",
+        "meta": {"item": "CNN", "user": "Ada", "predictor": "Dot"},
+        "config": {"use_item_content": True, "hidden_size": 64,
+                   "use_neg_sampling": True, "neg_count": 4,
+                   "item_config": {"dropout": 0.1, "kernel_size": 3}},
+    }
+    batch_size = 256
+    m = Manager({}, model_cfg,
+                exp_cfg={"policy": {"batch_size": batch_size}}, data=data)
+
+    tb = m.train_batcher(seed=0)
+    batch0 = next(tb.epoch(shuffle=False))
+    jb0 = {k: jnp.asarray(v) for k, v in batch0.items()}
+    params = init_params(m.model, jb0, m.contents.columns, seed=0)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(m.model, m.contents.columns, opt)
+
+    rng = jax.random.PRNGKey(0)
+    # warmup / compile
+    params, opt_state, loss = step(params, opt_state, jb0, rng)
+    jax.block_until_ready(loss)
+
+    n_steps = 0
+    t0 = time.perf_counter()
+    deadline = t0 + 10.0
+    while time.perf_counter() < deadline:
+        for batch in Prefetcher(tb.epoch()):
+            rng, sub = jax.random.split(rng)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, loss = step(params, opt_state, jb, sub)
+            n_steps += 1
+            if time.perf_counter() > deadline:
+                break
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = n_steps * batch_size / dt
+    baseline = 15000.0  # reference MPS impressions/sec (BASELINE.md)
+    print(json.dumps({
+        "metric": "train_impressions_per_sec_per_chip",
+        "value": round(samples_per_sec, 1),
+        "unit": "impressions/s",
+        "vs_baseline": round(samples_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,7 @@ class TrainBatcher:
         neg_count: int = 4,
         use_neg_sampling: bool = True,
         seed: int = 2023,
+        phase: str = "train",
     ):
         self.data = data
         self.cm = data.cm
@@ -58,7 +59,7 @@ class TrainBatcher:
         self.use_neg_sampling = use_neg_sampling
         self.rng = np.random.default_rng(seed)
 
-        store = data.inters["train"]
+        store = data.inters[phase]
         labels = store[self.cm.label_col]
         if use_neg_sampling:
             # x-entropy training keeps only positive rows

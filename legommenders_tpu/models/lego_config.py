@@ -1,0 +1,195 @@
+"""LegoConfig — component wiring: configs -> a ready Legommender module.
+
+Parity: reference model/lego_config.py:57-256 — holds the hyper-params
+(hidden_size, item_hidden_size, neg_count=4, use_neg_sampling,
+use_item_content, use_fast_eval, item_page_size, cache_page_size=512),
+instantiates operator/predictor classes with merged configs, runs the
+matching/ranking compatibility checks (:217-224) and registers inputer
+vocabs into the embedding hub (:241-256).
+"""
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from legommenders_tpu.data.dataset import LegoData
+from legommenders_tpu.models.embedding import EmbeddingHub
+from legommenders_tpu.models.item_table import ItemContentTable
+from legommenders_tpu.models.legommender import Legommender
+from legommenders_tpu.utils.function import combine_config
+from legommenders_tpu.utils.registry import OPERATORS, PREDICTORS
+# populate the registries (decorator side effects)
+import legommenders_tpu.models.operators  # noqa: F401
+import legommenders_tpu.models.predictors  # noqa: F401
+
+
+@dataclass
+class LegoConfig:
+    data: LegoData
+    item_operator: Optional[str] = None       # meta.item, e.g. "CNN"
+    user_operator: str = "Ada"                # meta.user
+    predictor: str = "Dot"                    # meta.predictor
+    hidden_size: int = 64
+    item_hidden_size: Optional[int] = None
+    embedding_dim: Optional[int] = None
+    neg_count: int = 4
+    use_neg_sampling: bool = True
+    use_item_content: bool = True
+    use_fast_eval: bool = True
+    item_page_size: int = 0
+    cache_page_size: int = 512
+    item_config: dict = field(default_factory=dict)
+    user_config: dict = field(default_factory=dict)
+    predictor_config: dict = field(default_factory=dict)
+    embed_config: dict = field(default_factory=dict)   # resolved embed yaml
+    dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_configs(cls, data: LegoData, model_cfg: dict,
+                     embed_cfg: Optional[dict] = None,
+                     dtype=jnp.float32) -> "LegoConfig":
+        meta = model_cfg.get("meta") or {}
+        cfg = model_cfg.get("config") or {}
+        return cls(
+            data=data,
+            item_operator=meta.get("item"),
+            user_operator=meta.get("user", "Ada"),
+            predictor=meta.get("predictor", "Dot"),
+            hidden_size=int(cfg.get("hidden_size", 64)),
+            item_hidden_size=cfg.get("item_hidden_size"),
+            embedding_dim=cfg.get("embedding_dim"),
+            neg_count=int(cfg.get("neg_count", 4)),
+            use_neg_sampling=bool(cfg.get("use_neg_sampling", True)),
+            use_item_content=bool(cfg.get("use_item_content", True)),
+            use_fast_eval=bool(cfg.get("use_fast_eval", True)),
+            item_page_size=int(cfg.get("item_page_size") or 0),
+            cache_page_size=int(cfg.get("cache_page_size", 512)),
+            item_config=dict(cfg.get("item_config") or {}),
+            user_config=dict(cfg.get("user_config") or {}),
+            predictor_config=dict(cfg.get("predictor_config") or {}),
+            embed_config=dict(embed_cfg or {}),
+            dtype=dtype,
+        )
+
+    # ------------------------------------------------------------------ #
+    def build(self) -> Tuple[Legommender, ItemContentTable, EmbeddingHub]:
+        data = self.data
+        item_hidden = int(self.item_hidden_size or self.hidden_size)
+        emb_dim = int(self.embedding_dim or self.hidden_size)
+
+        hub = EmbeddingHub(
+            embedding_dim=emb_dim,
+            transformation=self.embed_config.get("transformation", "auto"),
+            transformation_dropout=float(
+                self.embed_config.get("transformation_dropout", 0.0) or 0.0),
+        )
+
+        # pretrained embeddings from the embed config
+        for entry in self.embed_config.get("embeddings") or []:
+            path = entry["path"]
+            arr = np.load(path) if isinstance(path, str) else np.asarray(path)
+            hub.load_pretrained(
+                arr,
+                vocab_name=entry.get("vocab_name"),
+                col_name=entry.get("col_name"),
+                frozen=bool(entry.get("frozen", True)),
+            )
+
+        contents = ItemContentTable.from_data(data)
+        item_cols = tuple(
+            (col, contents.col_vocabs[col], contents.seq_lens()[col])
+            for col, _ in data.item_inputs
+        )
+        for col, vocab, _ in item_cols:
+            if not hub.has(vocab):
+                v = data.items.vocab_of(col)
+                hub.register_vocab(vocab, len(v) if v else
+                                   int(data.items[col].max()) + 1)
+
+        item_id_vocab = data.cm.col_vocabs.get(data.cm.history_col, "item_id")
+        if not self.use_item_content and not hub.has(item_id_vocab):
+            hub.register_vocab(item_id_vocab, data.num_items)
+
+        # ---------------- operators ----------------
+        item_op = None
+        item_inputer = None
+        flatten = False
+        user_op_cls = OPERATORS[self.user_operator]
+        pred_cls = PREDICTORS[self.predictor]
+
+        if self.use_item_content:
+            assert self.item_operator, "use_item_content requires meta.item"
+            item_op_cls = OPERATORS[self.item_operator]
+            icfg = combine_config(
+                {k: v for k, v in self.item_config.items()
+                 if k != "inputer_config"},
+                hidden_size=item_hidden, input_dim=emb_dim)
+            icfg = {k: v for k, v in icfg.items()
+                    if k in item_op_cls.__dataclass_fields__}
+            if "num_cols" in item_op_cls.__dataclass_fields__:
+                icfg["num_cols"] = len(item_cols)
+            item_op = item_op_cls(dtype=self.dtype, **icfg)
+            inputer_cfg = dict(self.item_config.get("inputer_config") or {})
+            inputer_cfg = {k: v for k, v in inputer_cfg.items()
+                           if k in item_op_cls.inputer_class.__dataclass_fields__}
+            item_inputer = item_op_cls.inputer_class(
+                cols=item_cols, dtype=self.dtype, **inputer_cfg)
+            user_input_dim = item_op.output_dim
+        else:
+            user_input_dim = emb_dim
+
+        flatten = bool(user_op_cls.flatten_mode)
+        ucfg = combine_config(
+            {k: v for k, v in self.user_config.items()
+             if k != "inputer_config"},
+            hidden_size=self.hidden_size, input_dim=user_input_dim)
+        ucfg = {k: v for k, v in ucfg.items()
+                if k in user_op_cls.__dataclass_fields__}
+        user_op = user_op_cls(dtype=self.dtype, **ucfg)
+
+        user_inputer = None
+        if flatten:
+            # flatten-mode user inputers consume item content columns
+            u_inputer_cfg = dict(self.user_config.get("inputer_config") or {})
+            u_inputer_cfg = {
+                k: v for k, v in u_inputer_cfg.items()
+                if k in user_op_cls.inputer_class.__dataclass_fields__}
+            user_inputer = user_op_cls.inputer_class(
+                cols=item_cols, dtype=self.dtype, **u_inputer_cfg)
+
+        pcfg = combine_config(dict(self.predictor_config),
+                              hidden_size=self.hidden_size)
+        pcfg = {k: v for k, v in pcfg.items()
+                if k in pred_cls.__dataclass_fields__}
+        predictor = pred_cls(dtype=self.dtype, **pcfg)
+
+        # compatibility checks (reference lego_config.py:217-224)
+        if self.use_neg_sampling and not predictor.allow_matching:
+            raise ValueError(
+                f"{self.predictor} does not support matching "
+                f"(neg-sampling) mode")
+        if not self.use_neg_sampling and not predictor.allow_ranking:
+            raise ValueError(f"{self.predictor} does not support ranking mode")
+
+        specs = tuple(sorted(hub._specs.values(), key=lambda s: s.param_name))
+        model = Legommender(
+            embed_specs=specs,
+            pretrained=dict(hub.pretrained),
+            item_op=item_op,
+            user_op=user_op,
+            predictor=predictor,
+            item_inputer=item_inputer,
+            user_inputer=user_inputer,
+            candidate_col="candidates",
+            history_col=data.cm.history_col,
+            mask_col="mask",
+            user_col=data.cm.user_col,
+            use_item_content=self.use_item_content,
+            use_neg_sampling=self.use_neg_sampling,
+            neg_count=self.neg_count,
+            flatten_mode=flatten,
+            item_id_vocab=item_id_vocab,
+            dtype=self.dtype,
+        )
+        return model, contents, hub

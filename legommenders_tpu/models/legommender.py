@@ -1,0 +1,150 @@
+"""Legommender — the end-to-end composed model.
+
+Parity: reference model/legommender.py:55-263 — composes an optional item
+(content) operator, a user (behavior) operator and a click predictor;
+supports matching with negative samples (scores B×(K+1), CE against label
+0) and pointwise ranking (B×1, BCE); item content may come from content
+encoding, from an ID embedding table (`use_item_content=false`), or from
+fast-eval caches.
+
+TPU-first redesign:
+  * `__call__(batch, item_contents)` is a pure function — batch is a dict
+    of fixed-shape int arrays, item_contents the device token matrices;
+    candidate+history content is gathered and encoded in ONE fused item-op
+    pass (the reference pages through python loops, legommender.py:174-190);
+  * cached-eval paths are separate methods (`encode_item_page`,
+    `encode_user`, `score_cached`) jitted by the runtime cacher;
+  * loss lives in the runtime train step, the module returns scores.
+"""
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from legommenders_tpu.models.embedding import EmbeddingTables, EmbedSpec
+from legommenders_tpu.models.inputers.base import BaseInputer
+from legommenders_tpu.models.operators.base import BaseOperator
+from legommenders_tpu.models.predictors.base import BasePredictor
+
+
+class Legommender(nn.Module):
+    # embedding hub construction args
+    embed_specs: Tuple[EmbedSpec, ...] = ()
+    pretrained: dict = None
+    # components (unbound module templates)
+    item_op: Optional[BaseOperator] = None
+    user_op: BaseOperator = None
+    predictor: BasePredictor = None
+    item_inputer: Optional[BaseInputer] = None
+    user_inputer: Optional[BaseInputer] = None  # flatten / non-content path
+    # column names (static)
+    candidate_col: str = "candidates"
+    history_col: str = "history"
+    mask_col: str = "mask"
+    user_col: str = "user_id"
+    # flags
+    use_item_content: bool = True
+    use_neg_sampling: bool = True
+    neg_count: int = 4
+    flatten_mode: bool = False
+    item_id_vocab: str = "item_id"   # ID-embedding path vocab
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.eh = EmbeddingTables(
+            specs=self.embed_specs, pretrained=self.pretrained or {},
+            dtype=self.dtype)
+
+    # ------------------------------------------------------------------ #
+    # item side                                                          #
+    # ------------------------------------------------------------------ #
+    def encode_item_content(self, contents: Dict[str, jnp.ndarray],
+                            training: bool = False) -> jnp.ndarray:
+        """contents: {col: (..., L)} token ids -> (..., D) item vectors.
+
+        Leading dims are flattened for the operator pass and restored
+        (the reference's Shaper 3D<->2D, utils/shaper.py)."""
+        first = next(iter(contents.values()))
+        lead = first.shape[:-1]
+        flat = {c: a.reshape((-1, a.shape[-1])) for c, a in contents.items()}
+        emb, mask = self.item_inputer.get_embeddings(self.eh, flat, training)
+        out = self.item_op(emb, mask, training=training)
+        return out.reshape(*lead, -1)
+
+    def encode_item_page(self, contents: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Cache-building entry: one page of items -> (P, D), eval mode."""
+        return self.encode_item_content(contents, training=False)
+
+    def item_id_embedding(self, item_ids: jnp.ndarray,
+                          training: bool = False) -> jnp.ndarray:
+        return self.eh.embed(item_ids, self.item_id_vocab,
+                             col_name=self.history_col, training=training)
+
+    # ------------------------------------------------------------------ #
+    # user side                                                          #
+    # ------------------------------------------------------------------ #
+    def encode_user(self, clicks: jnp.ndarray, mask: jnp.ndarray,
+                    training: bool = False) -> jnp.ndarray:
+        """clicks (B, S, D) click vectors + mask (B, S) -> user repr."""
+        return self.user_op(clicks, mask, training=training)
+
+    def encode_user_flatten(self, contents: Dict[str, jnp.ndarray],
+                            training: bool = False) -> jnp.ndarray:
+        """Flatten-mode: user op consumes the raw flattened history
+        sequence through its own inputer."""
+        emb, mask = self.user_inputer.get_embeddings(self.eh, contents, training)
+        return self.user_op(emb, mask, training=training)
+
+    # ------------------------------------------------------------------ #
+    # scoring                                                            #
+    # ------------------------------------------------------------------ #
+    def score_cached(self, user_repr: jnp.ndarray,
+                     item_repr: jnp.ndarray) -> jnp.ndarray:
+        """Fast-eval path: precomputed reprs -> scores (B, K)."""
+        return self.predictor(user_repr, item_repr, training=False)
+
+    # ------------------------------------------------------------------ #
+    # full forward                                                       #
+    # ------------------------------------------------------------------ #
+    def __call__(self, batch: Dict[str, jnp.ndarray],
+                 item_contents: Optional[Dict[str, jnp.ndarray]] = None,
+                 training: bool = False) -> jnp.ndarray:
+        """Returns raw scores (B, K); K=1+neg_count (matching) or 1
+        (ranking)."""
+        cand_ids = batch[self.candidate_col]            # (B, K)
+        B, K = cand_ids.shape
+        hist_ids = batch[self.history_col]              # (B, S)
+        S = hist_ids.shape[1]
+        click_mask = batch[self.mask_col]               # (B, S)
+
+        if self.use_item_content:
+            num_items = next(iter(item_contents.values())).shape[0]
+            safe_cand = jnp.clip(cand_ids, 0, num_items - 1)
+            if self.flatten_mode:
+                cand = {c: jnp.take(a, safe_cand, axis=0)
+                        for c, a in item_contents.items()}
+                item_repr = self.encode_item_content(cand, training)
+                hist_contents = {c: jnp.take(a, jnp.clip(hist_ids, 0, num_items - 1), axis=0)
+                                 for c, a in item_contents.items()}
+                # mask out padded clicks at the token level
+                hist_contents = {
+                    c: jnp.where(click_mask[..., None] > 0, a, -1)
+                    for c, a in hist_contents.items()}
+                user_repr = self.encode_user_flatten(hist_contents, training)
+            else:
+                # one fused item-op pass over candidates + clicks
+                safe_hist = jnp.clip(hist_ids, 0, num_items - 1)
+                all_ids = jnp.concatenate(
+                    [safe_cand.reshape(-1), safe_hist.reshape(-1)])
+                contents = {c: jnp.take(a, all_ids, axis=0)
+                            for c, a in item_contents.items()}
+                reprs = self.encode_item_content(contents, training)  # (B*K+B*S, D)
+                item_repr = reprs[: B * K].reshape(B, K, -1)
+                clicks = reprs[B * K:].reshape(B, S, -1)
+                user_repr = self.encode_user(clicks, click_mask, training)
+        else:
+            item_repr = self.item_id_embedding(cand_ids, training)   # (B, K, D)
+            clicks = self.item_id_embedding(hist_ids, training)      # (B, S, D)
+            user_repr = self.encode_user(clicks, click_mask, training)
+
+        return self.predictor(user_repr, item_repr, training=training)

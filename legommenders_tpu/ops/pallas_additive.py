@@ -1,0 +1,132 @@
+"""Fused additive-attention pooling as a Pallas TPU kernel.
+
+The op (used by almost every operator in the zoo — reference
+model/common/attention.py:10-38):
+    h = tanh(x @ w1 + b1)          # (N, L, H)
+    s = h @ w2                     # (N, L)
+    a = masked_softmax(s, mask)    # (N, L)
+    out = sum_l a[:, l] * x[:, l]  # (N, D)
+
+Fusing keeps the (TILE_N, L, H) intermediate in VMEM instead of HBM — the
+op is bandwidth-bound, so avoiding the (N, L, H) round-trip matters when N
+is the full item catalogue (cache build) or B·(K+1)+B·S (train step).
+
+Gradients: jax.custom_vjp with a jnp recompute backward (rematerialized —
+the forward saves only inputs).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from legommenders_tpu.ops.core import EPS, masked_softmax
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref):
+    x = x_ref[...]                              # (TN, L, D)
+    mask = mask_ref[...].astype(jnp.float32)    # (TN, L)
+    TN, L, D = x.shape
+
+    x2 = x.reshape(TN * L, D)
+    h = jnp.tanh(
+        jnp.dot(x2, w1_ref[...], preferred_element_type=jnp.float32)
+        + b1_ref[...])                          # (TN*L, H), b1 (1, H)
+    s = jnp.dot(h, w2_ref[...].T,
+                preferred_element_type=jnp.float32).reshape(TN, L)
+
+    neg = jnp.finfo(jnp.float32).min
+    s = jnp.where(mask > 0, s, neg)
+    m = jnp.max(s, axis=1, keepdims=True)
+    m = jnp.where(m > neg / 2, m, 0.0)
+    e = jnp.exp(s - m) * mask
+    a = e / (jnp.sum(e, axis=1, keepdims=True) + EPS)   # (TN, L)
+
+    # weighted sum over L — elementwise+reduce (Mosaic dislikes batched dots)
+    out_ref[...] = jnp.sum(
+        a[:, :, None] * x.astype(jnp.float32), axis=1
+    ).astype(out_ref.dtype)
+
+
+def _forward_pallas(x, mask, w1, b1, w2, tile_n: int = 256):
+    N, L, D = x.shape
+    H = w1.shape[1]
+    pad = _cdiv(N, tile_n) * tile_n - N
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+    Np = x.shape[0]
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
+        grid=(Np // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, L, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile_n, L), lambda i: (i, 0)),
+            pl.BlockSpec((D, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_n, D), lambda i: (i, 0)),
+    )(x, mask, w1, b1.reshape(1, H), w2.reshape(1, H))
+    return out[:N] if pad else out
+
+
+def _forward_jnp(x, mask, w1, b1, w2):
+    h = jnp.tanh(jnp.einsum("nld,dh->nlh", x, w1) + b1)
+    s = jnp.einsum("nlh,h->nl", h, w2)
+    a = masked_softmax(s, mask)
+    return jnp.einsum("nl,nld->nd", a, x)
+
+
+def _use_pallas() -> bool:
+    """Opt-in TPU dispatch (LEGO_PALLAS=1): Mosaic compile latency for this
+    kernel is erratic on some TPU toolchains (observed 14-60s and hangs on
+    unaligned L/D tiers), so the default stays on XLA's fusion; the kernel
+    itself is correctness-tested in interpret mode and on aligned shapes."""
+    import os
+
+    if os.environ.get("LEGO_PALLAS") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def additive_attention_fused(x, mask, w1, b1, w2):
+    """x (N, L, D) float, mask (N, L), w1 (D, H), b1 (H,), w2 (H,) -> (N, D)."""
+    if _use_pallas():
+        return _forward_pallas(x, mask, w1, b1, w2)
+    return _forward_jnp(x, mask, w1, b1, w2)
+
+
+def _fwd(x, mask, w1, b1, w2):
+    return additive_attention_fused(x, mask, w1, b1, w2), (x, mask, w1, b1, w2)
+
+
+def _bwd(res, g):
+    x, mask, w1, b1, w2 = res
+    # rematerialized jnp backward
+    h = jnp.tanh(jnp.einsum("nld,dh->nlh", x, w1) + b1)
+    s = jnp.einsum("nlh,h->nl", h, w2)
+    a = masked_softmax(s, mask)
+
+    da = jnp.einsum("nd,nld->nl", g, x)
+    dx = a[..., None] * g[:, None, :]
+    ds = a * (da - jnp.sum(a * da, axis=-1, keepdims=True))
+    dh = ds[..., None] * w2                        # (N, L, H)
+    dpre = dh * (1.0 - h * h)                      # tanh'
+    dw2 = jnp.einsum("nlh,nl->h", h, ds)
+    dw1 = jnp.einsum("nld,nlh->dh", x, dpre)
+    db1 = jnp.sum(dpre, axis=(0, 1))
+    dx = dx + jnp.einsum("nlh,dh->nld", dpre, w1)
+    return dx, None, dw1, db1, dw2
+
+
+additive_attention_fused.defvjp(_fwd, _bwd)

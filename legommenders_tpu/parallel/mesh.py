@@ -1,0 +1,73 @@
+"""Device mesh + sharding layer.
+
+No reference counterpart — the reference is strictly single-device
+(base_lego.py:272-296; SURVEY §2.9). This layer provides the TPU-native
+scaling design: a 2-D `(dp, mp)` jax.sharding.Mesh where
+  * the interaction batch is sharded over `dp` (data parallel),
+  * embedding tables are row-sharded over `mp` (annotated via
+    nn.with_partitioning in models/embedding.py; XLA SPMD inserts the
+    gather collectives),
+  * everything else is replicated.
+Multi-host initialization uses jax.distributed; ICI carries the collectives
+within a slice, DCN across slices.
+"""
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+MP_AXIS = "mp"
+
+
+def make_mesh(n_dp: Optional[int] = None, n_mp: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_dp is None:
+        n_dp = n // n_mp
+    assert n_dp * n_mp == n, f"{n_dp}x{n_mp} != {n} devices"
+    arr = np.asarray(devices).reshape(n_dp, n_mp)
+    return Mesh(arr, (DP_AXIS, MP_AXIS))
+
+
+def batch_spec() -> P:
+    return P(DP_AXIS)
+
+
+def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh):
+    """Shard every batch array over dp on its leading axis."""
+    sharding = NamedSharding(mesh, P(DP_AXIS))
+    return {k: jax.device_put(jnp.asarray(v), sharding)
+            for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def params_shardings(params, mesh: Mesh, min_rows_to_shard: int = 0):
+    """Rule-based shardings: embedding tables (param name `emb_*`, 2-D, at
+    least `min_rows_to_shard` rows) are row-sharded over `mp`; everything
+    else replicated. Rule-based (instead of flax Partitioned boxes) keeps
+    params as plain arrays for optax."""
+    n_mp = mesh.shape[MP_AXIS]
+
+    def spec_for(path, leaf):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if (name.startswith("emb_") and leaf.ndim == 2
+                and leaf.shape[0] >= max(min_rows_to_shard, n_mp)
+                and leaf.shape[0] % n_mp == 0):
+            return NamedSharding(mesh, P(MP_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params, mesh: Mesh, min_rows_to_shard: int = 0):
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, s),
+        params, params_shardings(params, mesh, min_rows_to_shard))

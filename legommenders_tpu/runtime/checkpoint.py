@@ -1,0 +1,48 @@
+"""Checkpointing: params + optimizer state + step metadata.
+
+Parity: reference base_lego.py:228-267 (single-file torch.save of
+model/optimizer/scheduler state, best-only policy, configurable
+strict/model_only load). Implementation: flax serialization to a single
+msgpack file; orbax-backed sharded checkpoints are used by the parallel
+trainer when a mesh is active.
+"""
+import os
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+from legommenders_tpu.utils.io import json_load, json_save
+
+
+def save_checkpoint(path: str, params, opt_state=None,
+                    meta: Optional[Dict[str, Any]] = None):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    params = jax.device_get(params)
+    blob = {"params": params}
+    if opt_state is not None:
+        blob["opt_state"] = jax.device_get(opt_state)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            serialization.to_state_dict(blob)))
+    if meta is not None:
+        json_save(meta, path + ".meta.json")
+
+
+def load_checkpoint(path: str, params_template, opt_state_template=None,
+                    model_only: bool = False):
+    """Restore into templates (shape/type targets). Returns
+    (params, opt_state, meta)."""
+    with open(path, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(
+        params_template, state["params"])
+    opt_state = None
+    if not model_only and opt_state_template is not None and \
+            "opt_state" in state:
+        opt_state = serialization.from_state_dict(
+            opt_state_template, state["opt_state"])
+    meta = None
+    if os.path.isfile(path + ".meta.json"):
+        meta = json_load(path + ".meta.json")
+    return params, opt_state, meta

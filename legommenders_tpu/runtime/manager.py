@@ -1,0 +1,72 @@
+"""Manager — glue between configs, data, model and the runtime.
+
+Parity: reference loader/manager.py:121-431 — builds the dataset stores,
+resolves operator/predictor classes, constructs the model and hands out
+batchers; `setup(phase)` phase switching is replaced by explicit
+train/eval entry points (no global mutable Env).
+"""
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from legommenders_tpu.data.dataset import LegoData
+from legommenders_tpu.data.pipeline import EvalBatcher, TrainBatcher
+from legommenders_tpu.models.lego_config import LegoConfig
+from legommenders_tpu.runtime.cacher import ReprCache
+from legommenders_tpu.runtime.evaluator import Evaluator
+
+
+DEFAULT_POLICY = dict(
+    epoch=50, lr=1e-3, item_lr=None, batch_size=64, n_warmup=0,
+    check_interval=-2, simple_dev=False, epoch_batch=0, accumulate_batch=1,
+)
+DEFAULT_METRICS = ["GAUC", "MRR", "NDCG@1", "NDCG@5", "NDCG@10"]
+
+
+class Manager:
+    def __init__(self, data_cfg: dict, model_cfg: dict,
+                 embed_cfg: Optional[dict] = None,
+                 exp_cfg: Optional[dict] = None,
+                 data: Optional[LegoData] = None,
+                 dtype=jnp.float32):
+        self.exp_cfg = dict(exp_cfg or {})
+        self.policy = {**DEFAULT_POLICY, **(self.exp_cfg.get("policy") or {})}
+        store = self.exp_cfg.get("store") or {}
+        self.dev_metric = store.get("metric", "GAUC")
+        self.patience = int(store.get("patience", 5))
+        self.metrics = list(self.exp_cfg.get("metrics") or DEFAULT_METRICS)
+
+        self.data = data if data is not None else LegoData.from_config(data_cfg)
+        self.lego_cfg = LegoConfig.from_configs(
+            self.data, model_cfg or {}, embed_cfg, dtype=dtype)
+        self.model, self.contents, self.hub = self.lego_cfg.build()
+
+        self.cache = None
+        if self.lego_cfg.use_fast_eval and self._caching_allowed():
+            self.cache = ReprCache(
+                self.model, self.contents.columns,
+                self.data.history_matrix(),
+                page_size=self.lego_cfg.cache_page_size)
+
+    def _caching_allowed(self) -> bool:
+        item_ok = (self.model.item_op is None or
+                   type(self.model.item_op).allow_caching)
+        user_ok = type(self.model.user_op).allow_caching
+        return bool(item_ok and user_ok and self.model.use_item_content
+                    and not self.model.flatten_mode)
+
+    # ------------------------------------------------------------------ #
+    def train_batcher(self, seed: int = 2023) -> TrainBatcher:
+        return TrainBatcher(
+            self.data, batch_size=int(self.policy["batch_size"]),
+            neg_count=self.lego_cfg.neg_count,
+            use_neg_sampling=self.lego_cfg.use_neg_sampling, seed=seed)
+
+    def eval_batcher(self, phase: str) -> EvalBatcher:
+        return EvalBatcher(self.data, phase,
+                           int(self.policy["batch_size"]))
+
+    def evaluator(self) -> Evaluator:
+        return Evaluator(self.model, self.contents.columns, self.data,
+                         int(self.policy["batch_size"]), self.metrics,
+                         cache=self.cache)

@@ -1,0 +1,77 @@
+"""Jitted train/eval step factories.
+
+The reference's training loop computes loss inside the nn.Module
+(legommender.py:114-118, 252-263: CE over (B, K+1) scores with the positive
+at index 0, or BCEWithLogits for pointwise ranking). Here the module
+returns raw scores and the loss lives in these pure step functions, which
+`jax.jit` compiles once per shape.
+"""
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def neg_sampling_loss(scores: jnp.ndarray) -> jnp.ndarray:
+    """Cross-entropy with the positive always at column 0."""
+    logp = jax.nn.log_softmax(scores, axis=-1)
+    return -jnp.mean(logp[..., 0])
+
+
+def ranking_loss(scores: jnp.ndarray, labels: jnp.ndarray,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """BCE-with-logits over (B, 1) scores."""
+    s = scores.reshape(-1)
+    l = labels.reshape(-1).astype(s.dtype)
+    per = optax.sigmoid_binary_cross_entropy(s, l)
+    if valid is not None:
+        v = valid.reshape(-1).astype(s.dtype)
+        return jnp.sum(per * v) / jnp.maximum(jnp.sum(v), 1.0)
+    return jnp.mean(per)
+
+
+def make_loss_fn(model, item_contents, use_neg_sampling: bool):
+    def loss_fn(params, batch, rng):
+        scores = model.apply(
+            params, batch, item_contents, training=True,
+            rngs={"dropout": rng})
+        if use_neg_sampling:
+            return neg_sampling_loss(scores)
+        return ranking_loss(scores, batch["label"])
+    return loss_fn
+
+
+def make_train_step(model, item_contents, optimizer,
+                    use_neg_sampling: bool = True,
+                    donate: bool = True) -> Callable:
+    """Returns jitted step(params, opt_state, batch, rng) ->
+    (params, opt_state, loss)."""
+    loss_fn = make_loss_fn(model, item_contents, use_neg_sampling)
+
+    def step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, item_contents) -> Callable:
+    """Returns jitted step(params, batch) -> scores (B, K)."""
+
+    def step(params, batch):
+        return model.apply(params, batch, item_contents, training=False)
+
+    return jax.jit(step)
+
+
+def init_params(model, data_or_batch, item_contents, seed: int = 0):
+    """Initialize params with a representative batch."""
+    rng = jax.random.PRNGKey(seed)
+    batch = {k: jnp.asarray(v) for k, v in data_or_batch.items()}
+    return model.init({"params": rng, "dropout": rng}, batch,
+                      item_contents, training=False)

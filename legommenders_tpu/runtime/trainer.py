@@ -1,0 +1,183 @@
+"""Trainer — full train→dev→test loop.
+
+Parity: reference trainer.py:74-322 — epoch loop with gradient
+accumulation, check_interval loss logging, `epoch_batch` truncation, dev
+eval per epoch (full metric or `simple_dev` loss-only), early stopping via
+Monitor, save-best / reload-best, final test; two-LR-group optimizer (lower
+LR for pretrained item encoder params, base_lego.py:175-209) and linear
+warmup scheduler (:211-223).
+"""
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from legommenders_tpu.data.pipeline import Prefetcher
+from legommenders_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+from legommenders_tpu.runtime.manager import Manager
+from legommenders_tpu.runtime.metrics import MetricPool
+from legommenders_tpu.runtime.steps import (
+    init_params, make_loss_fn, make_train_step,
+)
+from legommenders_tpu.utils.logging import get_logger
+from legommenders_tpu.utils.meaner import Meaner
+from legommenders_tpu.utils.monitor import Monitor, Signal
+
+
+def linear_warmup(lr: float, n_warmup: int) -> optax.Schedule:
+    if n_warmup <= 0:
+        return optax.constant_schedule(lr)
+    return optax.linear_schedule(0.0, lr, n_warmup)
+
+
+class Trainer:
+    def __init__(self, manager: Manager, seed: int = 2023,
+                 ckpt_path: Optional[str] = None, log=None):
+        self.m = manager
+        self.seed = seed
+        self.ckpt_path = ckpt_path
+        self.log = log or get_logger("trainer")
+
+        policy = self.m.policy
+        lr = float(policy["lr"])
+        schedule = linear_warmup(lr, int(policy["n_warmup"] or 0))
+        base_opt = optax.adam(schedule)
+        item_lr = policy.get("item_lr")
+        if item_lr:
+            # dual LR: pretrained item-op params at item_lr
+            # (reference base_lego.py:175-209)
+            item_sched = linear_warmup(float(item_lr),
+                                       int(policy["n_warmup"] or 0))
+
+            def label_fn(params):
+                def label(path, _):
+                    inside_item = any(getattr(p, "key", None) == "item_op"
+                                      for p in path)
+                    return "item" if inside_item else "other"
+                return jax.tree_util.tree_map_with_path(label, params)
+
+            self.optimizer = optax.multi_transform(
+                {"item": optax.adam(item_sched), "other": base_opt}, label_fn)
+        else:
+            self.optimizer = base_opt
+        accum = int(policy.get("accumulate_batch") or 1)
+        if accum > 1:
+            self.optimizer = optax.MultiSteps(self.optimizer, accum)
+
+        self.params = None
+        self.opt_state = None
+        self.evaluator = self.m.evaluator()
+        self.monitor = Monitor(
+            patience=self.m.patience,
+            minimize=MetricPool.is_minimize(self.m.dev_metric))
+
+    # ------------------------------------------------------------------ #
+    def init(self, batch=None):
+        if batch is None:
+            batch = next(self.m.train_batcher(self.seed).epoch(shuffle=False))
+        self.params = init_params(self.m.model, batch,
+                                  self.m.contents.columns, seed=self.seed)
+        self.opt_state = self.optimizer.init(self.params)
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(self.params))
+        self.log.info(f"initialized {n_params/1e6:.2f}M params")
+        return self.params
+
+    # ------------------------------------------------------------------ #
+    def dev(self) -> float:
+        policy = self.m.policy
+        if policy.get("simple_dev"):
+            return -self._simple_dev_loss()
+        res = self.evaluator.evaluate(self.params, "dev")
+        return res[self.m.dev_metric]
+
+    def _simple_dev_loss(self) -> float:
+        """Loss-only dev (reference trainer.py:126-153, simple_dev)."""
+        loss_fn = make_loss_fn(self.m.model, self.m.contents.columns,
+                               self.m.lego_cfg.use_neg_sampling)
+        jitted = jax.jit(loss_fn)
+        rng = jax.random.PRNGKey(0)
+        meaner = Meaner()
+        from legommenders_tpu.data.pipeline import TrainBatcher
+        batcher = TrainBatcher(
+            self.m.data, int(self.m.policy["batch_size"]),
+            neg_count=self.m.lego_cfg.neg_count,
+            use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
+            seed=self.seed, phase="dev")
+        for batch in batcher.epoch(shuffle=False):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            meaner.add(float(jitted(self.params, jb, rng)))
+        return meaner.mean
+
+    # ------------------------------------------------------------------ #
+    def train(self) -> Dict[str, float]:
+        policy = self.m.policy
+        if self.params is None:
+            self.init()
+        step_fn = make_train_step(
+            self.m.model, self.m.contents.columns, self.optimizer,
+            self.m.lego_cfg.use_neg_sampling)
+        rng = jax.random.PRNGKey(self.seed)
+        epoch_batch = int(policy.get("epoch_batch") or 0)
+        check_interval = int(policy.get("check_interval") or -2)
+
+        best_dev = None
+        for epoch in range(int(policy["epoch"])):
+            if self.m.cache is not None:
+                self.m.cache.clean()
+            batcher = self.m.train_batcher(self.seed + epoch)
+            meaner = Meaner()
+            t0 = time.time()
+            num_batches = len(batcher)
+            if epoch_batch:
+                num_batches = min(num_batches, epoch_batch)
+            interval = (num_batches // (-check_interval)
+                        if check_interval < 0 else check_interval) or 1
+            for i, batch in enumerate(Prefetcher(batcher.epoch())):
+                if epoch_batch and i >= epoch_batch:
+                    break
+                rng, sub = jax.random.split(rng)
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                self.params, self.opt_state, loss = step_fn(
+                    self.params, self.opt_state, jb, sub)
+                meaner.add(float(loss))
+                if (i + 1) % interval == 0:
+                    self.log.info(
+                        f"epoch {epoch} [{i+1}/{num_batches}] "
+                        f"loss {meaner.mean:.4f}")
+            dt = time.time() - t0
+            dev_value = self.dev()
+            self.log.info(
+                f"epoch {epoch}: loss {meaner.mean:.4f}, "
+                f"dev {self.m.dev_metric} {dev_value:.4f}, {dt:.1f}s")
+
+            signal = self.monitor.push(dev_value)
+            if signal == Signal.BEST:
+                best_dev = dev_value
+                if self.ckpt_path:
+                    save_checkpoint(self.ckpt_path, self.params,
+                                    self.opt_state,
+                                    meta={"epoch": epoch,
+                                          "dev": float(dev_value)})
+            elif signal == Signal.STOP:
+                self.log.info(f"early stop at epoch {epoch}")
+                break
+
+        if self.ckpt_path and best_dev is not None:
+            self.params, _, _ = load_checkpoint(
+                self.ckpt_path, self.params, model_only=True)
+        return {"best_dev": best_dev if best_dev is not None else float("nan")}
+
+    # ------------------------------------------------------------------ #
+    def test(self) -> Dict[str, float]:
+        res = self.evaluator.evaluate(self.params, "test")
+        self.log.info("test: " + ", ".join(
+            f"{k} {v:.4f}" for k, v in res.items()))
+        return res
+
+    def run(self) -> Dict[str, float]:
+        self.train()
+        return self.test()

@@ -1,0 +1,34 @@
+"""Offline preprocessing CLI (parity: reference process.py:71-138).
+
+    python process.py --data synthetic
+    python process.py --data mind --raw_dir /path/to/MINDsmall
+"""
+import sys
+
+from legommenders_tpu.utils.function import parse_cli
+from legommenders_tpu.utils.registry import PROCESSORS
+import legommenders_tpu.data.processors  # noqa: F401 (register)
+
+
+def main(argv):
+    cli = parse_cli(argv)
+    name = cli.get("data")
+    if not name:
+        raise SystemExit("--data is required")
+    if name.lower() not in PROCESSORS:
+        raise SystemExit(
+            f"unknown processor {name}; known: {PROCESSORS.keys()}")
+    cls = PROCESSORS[name.lower()]
+    kwargs = {}
+    if cli.get("raw_dir"):
+        kwargs["raw_dir"] = cli["raw_dir"]
+    if cli.get("save_dir"):
+        kwargs["save_dir"] = cli["save_dir"]
+    processor = cls(**kwargs)
+    stores = processor.load(regenerate=bool(cli.get("regenerate")))
+    for part, store in stores.items():
+        print(f"{part}: {len(store)} rows, cols {store.col_names()}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

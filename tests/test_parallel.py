@@ -1,0 +1,65 @@
+"""Sharding tests on the 8-device virtual CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    from legommenders_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_dp=4, n_mp=2)
+    assert dict(mesh.shape) == {"dp": 4, "mp": 2}
+
+
+def test_dryrun_multichip():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    out = jax.block_until_ready(out)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_matches_single_device():
+    """One sharded train step == one single-device train step."""
+    import jax.numpy as jnp
+    import optax
+    import __graft_entry__
+    from legommenders_tpu.parallel.mesh import make_mesh
+    from legommenders_tpu.parallel.train import make_sharded_train_step
+    from legommenders_tpu.runtime.steps import init_params, make_train_step
+
+    m, jbatch = __graft_entry__._build(batch=16)
+    params = init_params(m.model, jbatch, m.contents.columns, seed=0)
+    opt = optax.adam(1e-3)
+
+    # single-device
+    step1 = make_train_step(m.model, m.contents.columns, opt, donate=False)
+    p1, s1, loss1 = step1(params, opt.init(params), jbatch,
+                          jax.random.PRNGKey(0))
+
+    # sharded over 8 devices (dp=4, mp=2)
+    mesh = make_mesh(n_dp=4, n_mp=2)
+    step8, place = make_sharded_train_step(
+        m.model, m.contents.columns, opt, mesh, min_rows_to_shard=2)
+    with mesh:
+        p, o, b = place(params, opt.init(params), jbatch)
+        p8, s8, loss8 = step8(p, o, b, jax.random.PRNGKey(0))
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-4)
+    l1 = jax.tree_util.tree_leaves(p1)
+    l8 = jax.tree_util.tree_leaves(jax.device_get(p8))
+    for a, b_ in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
