@@ -63,13 +63,38 @@ class Legommender(nn.Module):
         """contents: {col: (..., L)} token ids -> (..., D) item vectors.
 
         Leading dims are flattened for the operator pass and restored
-        (the reference's Shaper 3D<->2D, utils/shaper.py)."""
+        (the reference's Shaper 3D<->2D, utils/shaper.py). In lm-cache
+        mode contents carry precomputed hidden states instead of token ids
+        (reference legommender.py:160-171)."""
+        from legommenders_tpu.models.operators.lm_ops import (
+            LM_HIDDEN_KEY, LM_MASK_KEY,
+        )
+
+        if LM_HIDDEN_KEY in contents:
+            hidden = contents[LM_HIDDEN_KEY]          # (..., L, D)
+            hmask = contents[LM_MASK_KEY]             # (..., L)
+            lead = hidden.shape[:-2]
+            flat_h = hidden.reshape((-1,) + hidden.shape[-2:])
+            flat_m = hmask.reshape((-1, hmask.shape[-1]))
+            out = self.item_op(flat_h, flat_m, training=training)
+            return out.reshape(*lead, -1)
+
         first = next(iter(contents.values()))
         lead = first.shape[:-1]
         flat = {c: a.reshape((-1, a.shape[-1])) for c, a in contents.items()}
         emb, mask = self.item_inputer.get_embeddings(self.eh, flat, training)
         out = self.item_op(emb, mask, training=training)
         return out.reshape(*lead, -1)
+
+    def encode_item_lower(self, contents: Dict[str, jnp.ndarray],
+                          training: bool = False):
+        """Offline LM split: inputer embeddings -> lower-layer hidden
+        states (splitter path, reference once_operator.py:211-234).
+        Returns (hidden (N, L, D), mask (N, L))."""
+        emb, mask = self.item_inputer.get_embeddings(self.eh, contents,
+                                                     training)
+        hidden = self.item_op.encode_lower(emb, mask, training=training)
+        return hidden, mask
 
     def encode_item_page(self, contents: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Cache-building entry: one page of items -> (P, D), eval mode."""

@@ -1,0 +1,393 @@
+"""Native flax LM encoder/decoder slices (BERT / OPT / Llama / GLM).
+
+These replace the reference's HF torch models (model/operators/
+{bert,opt,llama,glm}_operator.py). A "slice" runs layers [start, end) over
+provided hidden states — the mechanism behind the reference's `tune_from`
+offline split (once_operator.py:101-134): the lower layers run once offline
+(splitter), the upper slice runs at train time over cached states.
+
+LoRA (reference: peft on the remaining layers, once_operator.py:128-151) is
+native: attention q/v projections get a low-rank trainable delta while the
+base kernel is stop-gradient-frozen when `lora` is enabled.
+
+Weight layout matches HF naming closely enough for a mechanical torch->flax
+port (lm/hf_loader.py).
+"""
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class LoRADense(nn.Module):
+    """Dense whose base kernel can be frozen with a trainable low-rank
+    delta: y = x @ (W + B A / ?scale) + b."""
+
+    features: int
+    lora_r: int = 0
+    lora_alpha: int = 16
+    lora_dropout: float = 0.0
+    use_bias: bool = True
+    freeze_base: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        D = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (D, self.features))
+        if self.freeze_base:
+            kernel = jax.lax.stop_gradient(kernel)
+        y = jnp.einsum("...d,df->...f", x.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.freeze_base:
+                bias = jax.lax.stop_gradient(bias)
+            y = y + bias.astype(self.dtype)
+        if self.lora_r > 0:
+            a = self.param("lora_A", nn.initializers.normal(0.02),
+                           (D, self.lora_r))
+            b = self.param("lora_B", nn.initializers.zeros,
+                           (self.lora_r, self.features))
+            h = x
+            if self.lora_dropout > 0:
+                h = nn.Dropout(self.lora_dropout)(
+                    h, deterministic=not training)
+            y = y + jnp.einsum("...d,dr,rf->...f", h.astype(self.dtype),
+                               a.astype(self.dtype), b.astype(self.dtype)
+                               ) * (self.lora_alpha / self.lora_r)
+        return y
+
+
+def _frozen_dense(features, freeze, dtype, name, use_bias=True):
+    return LoRADense(features=features, freeze_base=freeze, dtype=dtype,
+                     name=name, use_bias=use_bias)
+
+
+# ---------------------------------------------------------------------------
+# BERT
+# ---------------------------------------------------------------------------
+class BertSelfAttention(nn.Module):
+    num_heads: int
+    lora_r: int = 0
+    lora_alpha: int = 16
+    lora_dropout: float = 0.0
+    freeze_base: bool = False
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_bias, training: bool = False):
+        D = x.shape[-1]
+        H, d = self.num_heads, D // self.num_heads
+        # HF LoRA default targets: query & value
+        q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                      freeze_base=self.freeze_base, dtype=self.dtype,
+                      name="query")(x, training)
+        k = _frozen_dense(D, self.freeze_base, self.dtype, "key")(x, training)
+        v = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                      freeze_base=self.freeze_base, dtype=self.dtype,
+                      name="value")(x, training)
+        B, L = x.shape[0], x.shape[1]
+        q = q.reshape(B, L, H, d)
+        k = k.reshape(B, L, H, d)
+        v = v.reshape(B, L, H, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.array(d, self.dtype))
+        scores = scores + mask_bias
+        attn = nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
+        return _frozen_dense(D, self.freeze_base, self.dtype,
+                             "output")(out, training)
+
+
+class BertLayer(nn.Module):
+    num_heads: int
+    lora_r: int = 0
+    lora_alpha: int = 16
+    lora_dropout: float = 0.0
+    freeze_base: bool = False
+    dropout: float = 0.1
+    intermediate_mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_bias, training: bool = False):
+        D = x.shape[-1]
+        attn = BertSelfAttention(
+            self.num_heads, self.lora_r, self.lora_alpha, self.lora_dropout,
+            self.freeze_base, self.dropout, self.dtype,
+            name="attention")(x, mask_bias, training)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                         name="attention_norm")(x + attn)
+        inter = _frozen_dense(D * self.intermediate_mult, self.freeze_base,
+                              self.dtype, "intermediate")(x, training)
+        inter = nn.gelu(inter, approximate=False)
+        out = _frozen_dense(D, self.freeze_base, self.dtype,
+                            "ffn_output")(inter, training)
+        out = nn.Dropout(self.dropout)(out, deterministic=not training)
+        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                            name="output_norm")(x + out)
+
+
+class BertEncoderSlice(nn.Module):
+    """Layers [start, end) of a BERT encoder over hidden states.
+
+    With start == 0, `embed=True` also applies the HF embedding stage
+    (position + token-type embeddings + LayerNorm + dropout) on top of the
+    inputer-provided word embeddings — the reference drops ONLY the word
+    embedding table (bert_operator.py:16)."""
+
+    num_layers: int
+    num_heads: int = 12
+    start: int = 0
+    embed: bool = True
+    max_position: int = 512
+    lora_r: int = 0
+    lora_alpha: int = 16
+    lora_dropout: float = 0.0
+    freeze_base: bool = False
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, mask, training: bool = False):
+        B, L, D = hidden_states.shape
+        mask_bias = ((1.0 - mask.astype(self.dtype))
+                     * jnp.finfo(self.dtype).min)[:, None, None, :]
+        x = hidden_states.astype(self.dtype)
+        if self.embed and self.start == 0:
+            pos = self.param("position_embeddings",
+                             nn.initializers.normal(0.02),
+                             (self.max_position, D))
+            tok_type = self.param("token_type_embeddings",
+                                  nn.initializers.normal(0.02), (1, D))
+            extra = pos[None, :L, :] + tok_type[None, :, :]
+            if self.freeze_base:
+                extra = jax.lax.stop_gradient(extra)
+            x = x + extra
+            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                             name="embeddings_norm")(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        for i in range(self.start, self.start + self.num_layers):
+            x = BertLayer(self.num_heads, self.lora_r, self.lora_alpha,
+                          self.lora_dropout, self.freeze_base, self.dropout,
+                          dtype=self.dtype, name=f"layer_{i}")(
+                x, mask_bias, training)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Llama (RMSNorm + rotary + SwiGLU, causal)
+# ---------------------------------------------------------------------------
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(self.dtype) * scale
+
+
+def rotary_embedding(L, d, base=10000.0, dtype=jnp.float32):
+    inv_freq = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    t = jnp.arange(L, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)                   # (L, d/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)   # (L, d)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rotary(x, cos, sin):
+    """x (B, L, H, d)."""
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[None, :, None, :] + rotated * sin[None, :, None, :]
+
+
+class LlamaDecoderLayer(nn.Module):
+    num_heads: int
+    num_kv_heads: Optional[int] = None
+    intermediate_size: Optional[int] = None
+    lora_r: int = 0
+    lora_alpha: int = 16
+    lora_dropout: float = 0.0
+    freeze_base: bool = False
+    rope_theta: float = 10000.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_bias, training: bool = False):
+        B, L, D = x.shape
+        H = self.num_heads
+        KV = self.num_kv_heads or H
+        d = D // H
+        inter = self.intermediate_size or int(D * 8 / 3)
+
+        h = RMSNorm(dtype=self.dtype, name="input_norm")(x)
+        q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                      use_bias=False, freeze_base=self.freeze_base,
+                      dtype=self.dtype, name="q_proj")(h, training)
+        k = LoRADense(KV * d, 0, use_bias=False,
+                      freeze_base=self.freeze_base, dtype=self.dtype,
+                      name="k_proj")(h, training)
+        v = LoRADense(KV * d, self.lora_r, self.lora_alpha,
+                      self.lora_dropout, use_bias=False,
+                      freeze_base=self.freeze_base, dtype=self.dtype,
+                      name="v_proj")(h, training)
+        q = q.reshape(B, L, H, d)
+        k = k.reshape(B, L, KV, d)
+        v = v.reshape(B, L, KV, d)
+        cos, sin = rotary_embedding(L, d, self.rope_theta, self.dtype)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        if KV != H:  # grouped-query attention
+            rep = H // KV
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.array(d, self.dtype))
+        scores = scores + mask_bias
+        attn = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
+        out = LoRADense(D, 0, use_bias=False, freeze_base=self.freeze_base,
+                        dtype=self.dtype, name="o_proj")(out, training)
+        x = x + out
+
+        h = RMSNorm(dtype=self.dtype, name="post_norm")(x)
+        gate = LoRADense(inter, 0, use_bias=False,
+                         freeze_base=self.freeze_base, dtype=self.dtype,
+                         name="gate_proj")(h, training)
+        up = LoRADense(inter, 0, use_bias=False,
+                       freeze_base=self.freeze_base, dtype=self.dtype,
+                       name="up_proj")(h, training)
+        down = LoRADense(D, 0, use_bias=False,
+                         freeze_base=self.freeze_base, dtype=self.dtype,
+                         name="down_proj")(nn.silu(gate) * up, training)
+        return x + down
+
+
+class LlamaDecoderSlice(nn.Module):
+    num_layers: int
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None
+    intermediate_size: Optional[int] = None
+    start: int = 0
+    final_norm: bool = True
+    lora_r: int = 0
+    lora_alpha: int = 16
+    lora_dropout: float = 0.0
+    freeze_base: bool = False
+    rope_theta: float = 10000.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden_states, mask, training: bool = False):
+        B, L, D = hidden_states.shape
+        neg = jnp.finfo(self.dtype).min
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        pad = mask.astype(bool)[:, None, None, :]
+        allowed = causal[None, None, :, :] & pad
+        mask_bias = jnp.where(allowed, 0.0, neg).astype(self.dtype)
+        x = hidden_states.astype(self.dtype)
+        for i in range(self.start, self.start + self.num_layers):
+            x = LlamaDecoderLayer(
+                self.num_heads, self.num_kv_heads, self.intermediate_size,
+                self.lora_r, self.lora_alpha, self.lora_dropout,
+                self.freeze_base, self.rope_theta, dtype=self.dtype,
+                name=f"layer_{i}")(x, mask_bias, training)
+        if self.final_norm:
+            x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# OPT (learned positions offset-2, pre-LN, causal)
+# ---------------------------------------------------------------------------
+class OPTDecoderLayer(nn.Module):
+    num_heads: int
+    ffn_dim: Optional[int] = None
+    lora_r: int = 0
+    lora_alpha: int = 16
+    lora_dropout: float = 0.0
+    freeze_base: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_bias, training: bool = False):
+        B, L, D = x.shape
+        H, d = self.num_heads, D // self.num_heads
+        ffn = self.ffn_dim or 4 * D
+        h = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x)
+        q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                      freeze_base=self.freeze_base, dtype=self.dtype,
+                      name="q_proj")(h, training)
+        k = _frozen_dense(D, self.freeze_base, self.dtype, "k_proj")(h, training)
+        v = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                      freeze_base=self.freeze_base, dtype=self.dtype,
+                      name="v_proj")(h, training)
+        q = q.reshape(B, L, H, d) * (d ** -0.5)
+        k = k.reshape(B, L, H, d)
+        v = v.reshape(B, L, H, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) + mask_bias
+        attn = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
+        out = _frozen_dense(D, self.freeze_base, self.dtype,
+                            "out_proj")(out, training)
+        x = x + out
+        h = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")(x)
+        h = nn.relu(_frozen_dense(ffn, self.freeze_base, self.dtype,
+                                  "fc1")(h, training))
+        h = _frozen_dense(D, self.freeze_base, self.dtype,
+                          "fc2")(h, training)
+        return x + h
+
+
+class OPTDecoderSlice(nn.Module):
+    num_layers: int
+    num_heads: int = 12
+    ffn_dim: Optional[int] = None
+    start: int = 0
+    embed_positions: bool = True
+    final_norm: bool = True
+    max_position: int = 2048
+    lora_r: int = 0
+    lora_alpha: int = 16
+    lora_dropout: float = 0.0
+    freeze_base: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden_states, mask, training: bool = False):
+        B, L, D = hidden_states.shape
+        neg = jnp.finfo(self.dtype).min
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        pad = mask.astype(bool)[:, None, None, :]
+        mask_bias = jnp.where(causal[None, None] & pad, 0.0, neg
+                              ).astype(self.dtype)
+        x = hidden_states.astype(self.dtype)
+        if self.embed_positions and self.start == 0:
+            # OPT learned positions have a +2 offset and follow cumulative
+            # positions of non-pad tokens
+            pos_table = self.param("position_embeddings",
+                                   nn.initializers.normal(0.02),
+                                   (self.max_position + 2, D))
+            if self.freeze_base:
+                pos_table = jax.lax.stop_gradient(pos_table)
+            positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+            positions = jnp.clip(positions, 0) + 2
+            x = x + jnp.take(pos_table, positions, axis=0).astype(self.dtype)
+        for i in range(self.start, self.start + self.num_layers):
+            x = OPTDecoderLayer(self.num_heads, self.ffn_dim, self.lora_r,
+                                self.lora_alpha, self.lora_dropout,
+                                self.freeze_base, dtype=self.dtype,
+                                name=f"layer_{i}")(x, mask_bias, training)
+        if self.final_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        return x

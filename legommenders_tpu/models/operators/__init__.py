@@ -7,6 +7,7 @@ from legommenders_tpu.models.operators import (  # noqa: F401
     fastformer,
     flatten_ops,
     gru,
+    lm_ops,
     poly,
     pooling,
     transformer,

@@ -1,0 +1,215 @@
+"""LLM content-encoder operators (ONCE family).
+
+Parity: reference model/operators/once_operator.py:41-236 + the per-LM
+subclasses (bert_operator.py, opt_operator.py, llama_operator.py,
+glm_operator.py):
+  * full-LM mode (`tune_from` unset): the inputer supplies word embeddings
+    (the LM's own word-embedding table is dropped, bert_operator.py:16) and
+    the whole encoder runs at train time;
+  * layer-split mode (`tune_from = k`): layers 0..k-1 run ONCE offline over
+    all items (splitter.py / runtime cacher), the cached hidden states are
+    device-resident `(N, L, D)` arrays gathered by item id inside jit, and
+    only the top slice runs at train time;
+  * LoRA on the trainable slice with the base weights frozen
+    (once_operator.py:128-151) — implemented natively in lm/layers.py;
+  * head: Linear(input_dim -> hidden) + AdditiveAttention
+    (once_operator.py:190-193).
+
+Layer-indexing note: the reference slices `encoder.layer[tune_from+1:]`
+while caching HF `hidden_states[tune_from]` (the output of layers
+0..tune_from-1), silently skipping layer `tune_from`. Here the split is
+exact: offline runs layers 0..tune_from-1, runtime runs tune_from..N-1.
+"""
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from legommenders_tpu.models.common import AdditiveAttention
+from legommenders_tpu.models.inputers.concat import ConcatInputer
+from legommenders_tpu.models.lm.layers import (
+    BertEncoderSlice, LlamaDecoderSlice, OPTDecoderSlice,
+)
+from legommenders_tpu.models.operators.base import BaseOperator
+from legommenders_tpu.utils.registry import OPERATORS
+
+LM_HIDDEN_KEY = "__lm_hidden__"
+LM_MASK_KEY = "__lm_mask__"
+
+
+class LMOperator(BaseOperator):
+    """Abstract LM content encoder (reference lm_operator.py:8-23)."""
+
+    tune_from: Optional[int] = None
+    use_lora: bool = True
+    lora_r: int = 32
+    lora_alpha: int = 16
+    lora_dropout: float = 0.1
+    additive_hidden_size: int = 256
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    max_position: int = 512
+    lm_dtype: jnp.dtype = jnp.float32
+
+    inputer_class = ConcatInputer
+
+    @property
+    def use_lm_cache(self) -> bool:
+        return bool(self.tune_from)
+
+    @property
+    def resolved_tune_from(self) -> int:
+        if self.tune_from is None:
+            return 0
+        t = int(self.tune_from)
+        return t if t >= 0 else self.num_hidden_layers + t
+
+    @property
+    def transformer_key(self) -> str:
+        """Dotfile key for the HF checkpoint (reference once_operator.py:75)."""
+        return self.__class__.__name__.replace("Operator", "").lower()
+
+    def get_layer_nums(self) -> int:
+        return self.num_hidden_layers
+
+    def _lora_kwargs(self, trainable_slice: bool):
+        if self.use_lora and trainable_slice:
+            return dict(lora_r=self.lora_r, lora_alpha=self.lora_alpha,
+                        lora_dropout=self.lora_dropout, freeze_base=True)
+        return dict(lora_r=0, freeze_base=False)
+
+    def make_slice(self, start: int, num_layers: int, trainable: bool,
+                   name: str = "lm"):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        start = self.resolved_tune_from
+        self.upper_slice = self.make_slice(
+            start, self.num_hidden_layers - start, trainable=True,
+            name="lm")
+        if start > 0:
+            self.lower_slice = self.make_slice(
+                0, start, trainable=False, name="lm_lower")
+        self.linear = nn.Dense(self.hidden_size, dtype=self.dtype,
+                               name="linear")
+        self.pool = AdditiveAttention(self.additive_hidden_size,
+                                      dtype=self.dtype, name="pool")
+
+    def __call__(self, embeddings, mask=None, training: bool = False):
+        """embeddings: inputer word embeddings (tune_from unset) OR cached
+        hidden states (layer-split mode); both (B, L, D)."""
+        x = self.upper_slice(embeddings, mask, training)
+        x = x.astype(jnp.float32)
+        x = self.linear(x)
+        return self.pool(x, mask)
+
+    def encode_lower(self, embeddings, mask, training: bool = False):
+        """Offline path: run layers 0..tune_from-1 (splitter/cache build)."""
+        assert self.resolved_tune_from > 0, "encode_lower requires tune_from"
+        return self.lower_slice(embeddings, mask, training)
+
+    def get_pretrained_parameter_names(self):
+        # dual-LR signal (reference once_operator.py:153-154)
+        return ["lm"]
+
+
+@OPERATORS.register
+class BertOperator(LMOperator):
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+
+    def make_slice(self, start, num_layers, trainable, name="lm"):
+        return BertEncoderSlice(
+            num_layers=num_layers, num_heads=self.num_attention_heads,
+            start=start, embed=(start == 0), max_position=self.max_position,
+            dtype=self.lm_dtype, name=name,
+            **self._lora_kwargs(trainable))
+
+
+@OPERATORS.register
+class BertBaseOperator(BertOperator):
+    pass
+
+
+@OPERATORS.register
+class BertLargeOperator(BertOperator):
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+
+
+@OPERATORS.register
+class LlamaOperator(LMOperator):
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_kv_heads: Optional[int] = None
+    intermediate_size: Optional[int] = None
+    rope_theta: float = 10000.0
+    lm_dtype: jnp.dtype = jnp.bfloat16
+
+    def make_slice(self, start, num_layers, trainable, name="lm"):
+        return LlamaDecoderSlice(
+            num_layers=num_layers, num_heads=self.num_attention_heads,
+            num_kv_heads=self.num_kv_heads,
+            intermediate_size=self.intermediate_size, start=start,
+            final_norm=trainable, rope_theta=self.rope_theta,
+            dtype=self.lm_dtype, name=name,
+            **self._lora_kwargs(trainable))
+
+
+@OPERATORS.register
+class Llama1Operator(LlamaOperator):
+    pass
+
+
+@OPERATORS.register
+class Llama2Operator(LlamaOperator):
+    pass
+
+
+@OPERATORS.register
+class Llama3Operator(LlamaOperator):
+    rope_theta: float = 500000.0
+
+
+@OPERATORS.register
+class OPTOperator(LMOperator):
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    ffn_dim: Optional[int] = None
+    max_position: int = 2048
+    lm_dtype: jnp.dtype = jnp.bfloat16
+
+    def make_slice(self, start, num_layers, trainable, name="lm"):
+        return OPTDecoderSlice(
+            num_layers=num_layers, num_heads=self.num_attention_heads,
+            ffn_dim=self.ffn_dim, start=start,
+            embed_positions=(start == 0), final_norm=trainable,
+            max_position=self.max_position, dtype=self.lm_dtype, name=name,
+            **self._lora_kwargs(trainable))
+
+
+@OPERATORS.register
+class OPTBaseOperator(OPTOperator):
+    pass
+
+
+@OPERATORS.register
+class OPTLargeOperator(OPTOperator):
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+
+
+@OPERATORS.register
+class GLMOperator(LlamaOperator):
+    """ChatGLM family (reference glm_operator.py + vendored
+    glm_interface.py): rotary attention decoder; modeled with the Llama
+    slice geometry (RMSNorm + rotary + gated MLP) with GLM defaults."""
+
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 32
+
+
+@OPERATORS.register
+class GLM4TH9BOperator(GLMOperator):
+    num_hidden_layers: int = 40

@@ -48,6 +48,26 @@ class Manager:
                 self.data.history_matrix(),
                 page_size=self.lego_cfg.cache_page_size)
 
+    def prepare_lm_cache(self, params, regenerate: bool = False) -> bool:
+        """Layer-split LM caching: if the item operator is an LMOperator
+        with `tune_from`, build/load the lower-layer hidden states and
+        register them as device-resident content arrays
+        (reference once_operator.py:101-134)."""
+        from legommenders_tpu.models.operators.lm_ops import LMOperator
+        from legommenders_tpu.runtime.lm_cache import load_or_build_lm_cache
+
+        op = self.model.item_op
+        if not isinstance(op, LMOperator) or not op.use_lm_cache:
+            return False
+        extra = load_or_build_lm_cache(
+            self.model, params, dict(self.contents.columns),
+            data_name=self.data.name, operator_name=op.transformer_key,
+            layer=op.resolved_tune_from,
+            page_size=self.lego_cfg.cache_page_size,
+            regenerate=regenerate)
+        self.contents.columns.update(extra)
+        return True
+
     def _caching_allowed(self) -> bool:
         item_ok = (self.model.item_op is None or
                    type(self.model.item_op).allow_caching)

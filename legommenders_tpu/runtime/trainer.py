@@ -80,6 +80,8 @@ class Trainer:
             batch = next(self.m.train_batcher(self.seed).epoch(shuffle=False))
         self.params = init_params(self.m.model, batch,
                                   self.m.contents.columns, seed=self.seed)
+        if self.m.prepare_lm_cache(self.params):
+            self.log.info("LM layer-split cache prepared")
         self.opt_state = self.optimizer.init(self.params)
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(self.params))
