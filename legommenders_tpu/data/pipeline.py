@@ -83,8 +83,17 @@ class TrainBatcher:
         return len(self.user_ids) // self.batch_size
 
     def _sample_negatives(self, users: np.ndarray) -> np.ndarray:
-        """(B, K) negative item ids, vectorized."""
+        """(B, K) negative item ids: native C kernel when available
+        (O(B·K) partial Fisher-Yates, legommenders_tpu/native), else
+        vectorized numpy argsort."""
+        from legommenders_tpu import native
+
         B, K = len(users), self.neg_count
+        out = native.sample_negatives(
+            self.negs, self.neg_counts.astype(np.int32), users, K,
+            self.num_items, seed=int(self.rng.integers(2 ** 62)))
+        if out is not None:
+            return out
         rows = self.negs[users]                      # (B, M)
         counts = self.neg_counts[users]              # (B,)
         M = rows.shape[1]

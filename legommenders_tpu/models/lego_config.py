@@ -146,6 +146,10 @@ class LegoConfig:
             hidden_size=self.hidden_size, input_dim=user_input_dim)
         ucfg = {k: v for k, v in ucfg.items()
                 if k in user_op_cls.__dataclass_fields__}
+        if ("num_semantic_layers" in user_op_cls.__dataclass_fields__
+                and "num_semantic_layers" not in ucfg and item_cols):
+            # semantic operator: layer count = semantic-code width
+            ucfg["num_semantic_layers"] = item_cols[0][2]
         user_op = user_op_cls(dtype=self.dtype, **ucfg)
 
         user_inputer = None

@@ -121,6 +121,20 @@ class Legommender(nn.Module):
         return self.user_op(emb, mask, training=training)
 
     # ------------------------------------------------------------------ #
+    # initialization                                                     #
+    # ------------------------------------------------------------------ #
+    def warmup(self, batch, item_contents, training: bool = False):
+        """Param-creation trace covering every runtime path: the standard
+        forward plus (for layer-split LMs) the offline lower slice, so a
+        single init produces the complete param tree."""
+        out = self(batch, item_contents, training=training)
+        if (self.item_op is not None
+                and getattr(self.item_op, "use_lm_cache", False)):
+            small = {c: a[:1] for c, a in item_contents.items()}
+            self.encode_item_lower(small, training=training)
+        return out
+
+    # ------------------------------------------------------------------ #
     # scoring                                                            #
     # ------------------------------------------------------------------ #
     def score_cached(self, user_repr: jnp.ndarray,

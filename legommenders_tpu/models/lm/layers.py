@@ -61,6 +61,29 @@ class LoRADense(nn.Module):
         return y
 
 
+
+class FrozenableLayerNorm(nn.Module):
+    """LayerNorm whose params can be stop-gradient-frozen (peft freezes
+    every base weight incl. norms when LoRA is active)."""
+
+    epsilon: float = 1e-12
+    freeze: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (D,))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        if self.freeze:
+            scale = jax.lax.stop_gradient(scale)
+            bias = jax.lax.stop_gradient(bias)
+        mean = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+        var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 def _frozen_dense(features, freeze, dtype, name, use_bias=True):
     return LoRADense(features=features, freeze_base=freeze, dtype=dtype,
                      name=name, use_bias=use_bias)
@@ -122,16 +145,18 @@ class BertLayer(nn.Module):
             self.freeze_base, self.dropout, self.dtype,
             name="attention")(x, mask_bias, training)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
-        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
-                         name="attention_norm")(x + attn)
+        x = FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
+                                dtype=self.dtype,
+                                name="attention_norm")(x + attn)
         inter = _frozen_dense(D * self.intermediate_mult, self.freeze_base,
                               self.dtype, "intermediate")(x, training)
         inter = nn.gelu(inter, approximate=False)
         out = _frozen_dense(D, self.freeze_base, self.dtype,
                             "ffn_output")(inter, training)
         out = nn.Dropout(self.dropout)(out, deterministic=not training)
-        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
-                            name="output_norm")(x + out)
+        return FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
+                                   dtype=self.dtype,
+                                   name="output_norm")(x + out)
 
 
 class BertEncoderSlice(nn.Module):
@@ -143,6 +168,7 @@ class BertEncoderSlice(nn.Module):
     embedding table (bert_operator.py:16)."""
 
     num_layers: int
+    collect_pooled: bool = False  # IISAN: per-layer masked-mean states
     num_heads: int = 12
     start: int = 0
     embed: bool = True
@@ -170,14 +196,22 @@ class BertEncoderSlice(nn.Module):
             if self.freeze_base:
                 extra = jax.lax.stop_gradient(extra)
             x = x + extra
-            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
-                             name="embeddings_norm")(x)
+            x = FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
+                                    dtype=self.dtype,
+                                    name="embeddings_norm")(x)
             x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        pooled = []
+        m = mask.astype(self.dtype)[:, :, None]
+        denom = jnp.maximum(m.sum(axis=1), 1.0)
         for i in range(self.start, self.start + self.num_layers):
             x = BertLayer(self.num_heads, self.lora_r, self.lora_alpha,
                           self.lora_dropout, self.freeze_base, self.dropout,
                           dtype=self.dtype, name=f"layer_{i}")(
                 x, mask_bias, training)
+            if self.collect_pooled:
+                pooled.append((x * m).sum(axis=1) / denom)
+        if self.collect_pooled:
+            return jnp.stack(pooled, axis=1)  # (B, num_layers, D)
         return x
 
 
@@ -186,11 +220,14 @@ class BertEncoderSlice(nn.Module):
 # ---------------------------------------------------------------------------
 class RMSNorm(nn.Module):
     eps: float = 1e-6
+    freeze: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         scale = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        if self.freeze:
+            scale = jax.lax.stop_gradient(scale)
         var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         return (x * jax.lax.rsqrt(var + self.eps)).astype(self.dtype) * scale
 
@@ -230,7 +267,7 @@ class LlamaDecoderLayer(nn.Module):
         d = D // H
         inter = self.intermediate_size or int(D * 8 / 3)
 
-        h = RMSNorm(dtype=self.dtype, name="input_norm")(x)
+        h = RMSNorm(freeze=self.freeze_base, dtype=self.dtype, name="input_norm")(x)
         q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
                       use_bias=False, freeze_base=self.freeze_base,
                       dtype=self.dtype, name="q_proj")(h, training)
@@ -260,7 +297,7 @@ class LlamaDecoderLayer(nn.Module):
                         dtype=self.dtype, name="o_proj")(out, training)
         x = x + out
 
-        h = RMSNorm(dtype=self.dtype, name="post_norm")(x)
+        h = RMSNorm(freeze=self.freeze_base, dtype=self.dtype, name="post_norm")(x)
         gate = LoRADense(inter, 0, use_bias=False,
                          freeze_base=self.freeze_base, dtype=self.dtype,
                          name="gate_proj")(h, training)
@@ -275,6 +312,7 @@ class LlamaDecoderLayer(nn.Module):
 
 class LlamaDecoderSlice(nn.Module):
     num_layers: int
+    collect_pooled: bool = False  # IISAN: per-layer masked-mean states
     num_heads: int = 32
     num_kv_heads: Optional[int] = None
     intermediate_size: Optional[int] = None
@@ -296,14 +334,21 @@ class LlamaDecoderSlice(nn.Module):
         allowed = causal[None, None, :, :] & pad
         mask_bias = jnp.where(allowed, 0.0, neg).astype(self.dtype)
         x = hidden_states.astype(self.dtype)
+        pooled = []
+        m = mask.astype(self.dtype)[:, :, None]
+        denom = jnp.maximum(m.sum(axis=1), 1.0)
         for i in range(self.start, self.start + self.num_layers):
             x = LlamaDecoderLayer(
                 self.num_heads, self.num_kv_heads, self.intermediate_size,
                 self.lora_r, self.lora_alpha, self.lora_dropout,
                 self.freeze_base, self.rope_theta, dtype=self.dtype,
                 name=f"layer_{i}")(x, mask_bias, training)
+            if self.collect_pooled:
+                pooled.append((x * m).sum(axis=1) / denom)
+        if self.collect_pooled:
+            return jnp.stack(pooled, axis=1)
         if self.final_norm:
-            x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
+            x = RMSNorm(freeze=self.freeze_base, dtype=self.dtype, name="final_norm")(x)
         return x
 
 
@@ -324,7 +369,7 @@ class OPTDecoderLayer(nn.Module):
         B, L, D = x.shape
         H, d = self.num_heads, D // self.num_heads
         ffn = self.ffn_dim or 4 * D
-        h = nn.LayerNorm(dtype=self.dtype, name="attn_norm")(x)
+        h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype, name="attn_norm")(x)
         q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
                       freeze_base=self.freeze_base, dtype=self.dtype,
                       name="q_proj")(h, training)
@@ -341,7 +386,7 @@ class OPTDecoderLayer(nn.Module):
         out = _frozen_dense(D, self.freeze_base, self.dtype,
                             "out_proj")(out, training)
         x = x + out
-        h = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")(x)
+        h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype, name="ffn_norm")(x)
         h = nn.relu(_frozen_dense(ffn, self.freeze_base, self.dtype,
                                   "fc1")(h, training))
         h = _frozen_dense(D, self.freeze_base, self.dtype,
@@ -351,6 +396,7 @@ class OPTDecoderLayer(nn.Module):
 
 class OPTDecoderSlice(nn.Module):
     num_layers: int
+    collect_pooled: bool = False  # IISAN: per-layer masked-mean states
     num_heads: int = 12
     ffn_dim: Optional[int] = None
     start: int = 0
@@ -383,11 +429,18 @@ class OPTDecoderSlice(nn.Module):
             positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
             positions = jnp.clip(positions, 0) + 2
             x = x + jnp.take(pos_table, positions, axis=0).astype(self.dtype)
+        pooled = []
+        m = mask.astype(self.dtype)[:, :, None]
+        denom = jnp.maximum(m.sum(axis=1), 1.0)
         for i in range(self.start, self.start + self.num_layers):
             x = OPTDecoderLayer(self.num_heads, self.ffn_dim, self.lora_r,
                                 self.lora_alpha, self.lora_dropout,
                                 self.freeze_base, dtype=self.dtype,
                                 name=f"layer_{i}")(x, mask_bias, training)
+            if self.collect_pooled:
+                pooled.append((x * m).sum(axis=1) / denom)
+        if self.collect_pooled:
+            return jnp.stack(pooled, axis=1)
         if self.final_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+            x = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype, name="final_norm")(x)
         return x

@@ -7,8 +7,10 @@ from legommenders_tpu.models.operators import (  # noqa: F401
     fastformer,
     flatten_ops,
     gru,
+    iisan,
     lm_ops,
     poly,
     pooling,
+    semantic,
     transformer,
 )

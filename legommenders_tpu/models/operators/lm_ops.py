@@ -79,7 +79,7 @@ class LMOperator(BaseOperator):
         return dict(lora_r=0, freeze_base=False)
 
     def make_slice(self, start: int, num_layers: int, trainable: bool,
-                   name: str = "lm"):
+                   name: str = "lm", **extra):
         raise NotImplementedError
 
     # ------------------------------------------------------------------
@@ -119,12 +119,12 @@ class BertOperator(LMOperator):
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
 
-    def make_slice(self, start, num_layers, trainable, name="lm"):
+    def make_slice(self, start, num_layers, trainable, name="lm", **extra):
         return BertEncoderSlice(
             num_layers=num_layers, num_heads=self.num_attention_heads,
             start=start, embed=(start == 0), max_position=self.max_position,
             dtype=self.lm_dtype, name=name,
-            **self._lora_kwargs(trainable))
+            **self._lora_kwargs(trainable), **extra)
 
 
 @OPERATORS.register
@@ -147,14 +147,14 @@ class LlamaOperator(LMOperator):
     rope_theta: float = 10000.0
     lm_dtype: jnp.dtype = jnp.bfloat16
 
-    def make_slice(self, start, num_layers, trainable, name="lm"):
+    def make_slice(self, start, num_layers, trainable, name="lm", **extra):
         return LlamaDecoderSlice(
             num_layers=num_layers, num_heads=self.num_attention_heads,
             num_kv_heads=self.num_kv_heads,
             intermediate_size=self.intermediate_size, start=start,
             final_norm=trainable, rope_theta=self.rope_theta,
             dtype=self.lm_dtype, name=name,
-            **self._lora_kwargs(trainable))
+            **self._lora_kwargs(trainable), **extra)
 
 
 @OPERATORS.register
@@ -180,13 +180,13 @@ class OPTOperator(LMOperator):
     max_position: int = 2048
     lm_dtype: jnp.dtype = jnp.bfloat16
 
-    def make_slice(self, start, num_layers, trainable, name="lm"):
+    def make_slice(self, start, num_layers, trainable, name="lm", **extra):
         return OPTDecoderSlice(
             num_layers=num_layers, num_heads=self.num_attention_heads,
             ffn_dim=self.ffn_dim, start=start,
             embed_positions=(start == 0), final_norm=trainable,
             max_position=self.max_position, dtype=self.lm_dtype, name=name,
-            **self._lora_kwargs(trainable))
+            **self._lora_kwargs(trainable), **extra)
 
 
 @OPERATORS.register

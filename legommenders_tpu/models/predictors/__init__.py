@@ -7,4 +7,5 @@ from legommenders_tpu.models.predictors import (  # noqa: F401
     dot,
     finalmlp,
     masknet,
+    semantic_heads,
 )

@@ -70,6 +70,45 @@ def build_lm_hidden(model, params, contents: Dict[str, jnp.ndarray],
     return scrub_nans(hidden, mask)
 
 
+def load_or_build_iisan_cache(model, params, contents, data_name: str,
+                              operator_name: str, selected_layers,
+                              page_size: int = 256, root: str = "cache",
+                              regenerate: bool = False
+                              ) -> Dict[str, jnp.ndarray]:
+    """IISAN: per-layer mean-pooled states (N, all_layers, D) cached to
+    states.npy (reference iisan_operator.py:115-151); the selected-layer
+    subset is registered under the lm-hidden content key with a dummy
+    length-1 mask."""
+    d = cache_dir(data_name, f"{operator_name}iisan", root)
+    spath = os.path.join(d, "states.npy")
+    if not regenerate and os.path.isfile(spath):
+        states = np.load(spath)
+    else:
+        num_items = next(iter(contents.values())).shape[0]
+        page_fn = jax.jit(
+            lambda p, c: model.apply(p, c, method=model.encode_item_lower))
+        P = min(page_size, num_items)
+        pages = []
+        for start in range(0, num_items, P):
+            ids = np.clip(np.arange(start, start + P), 0, num_items - 1)
+            page = {c: jnp.take(a, jnp.asarray(ids), axis=0)
+                    for c, a in contents.items()}
+            pooled, _mask = page_fn(params, page)
+            pages.append(np.asarray(pooled, np.float32))
+        states = np.concatenate(pages, axis=0)[:num_items]
+        nan_pos = np.isnan(states).any(axis=-1)
+        if nan_pos.any():
+            rng = np.random.default_rng(0)
+            states[nan_pos] = rng.random(
+                (int(nan_pos.sum()), states.shape[-1])).astype(states.dtype)
+        os.makedirs(d, exist_ok=True)
+        np.save(spath, states)
+    sel = states[:, selected_layers, :]                 # (N, H_sel, D)
+    ones = np.ones((sel.shape[0], 1), np.int32)
+    return {LM_HIDDEN_KEY: jnp.asarray(sel),
+            LM_MASK_KEY: jnp.asarray(ones)}
+
+
 def load_or_build_lm_cache(model, params, contents, data_name: str,
                            operator_name: str, layer: int,
                            page_size: int = 256, root: str = "cache",

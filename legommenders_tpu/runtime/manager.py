@@ -59,12 +59,22 @@ class Manager:
         op = self.model.item_op
         if not isinstance(op, LMOperator) or not op.use_lm_cache:
             return False
-        extra = load_or_build_lm_cache(
-            self.model, params, dict(self.contents.columns),
-            data_name=self.data.name, operator_name=op.transformer_key,
-            layer=op.resolved_tune_from,
-            page_size=self.lego_cfg.cache_page_size,
-            regenerate=regenerate)
+        if getattr(op, "is_iisan", False):
+            from legommenders_tpu.runtime.lm_cache import (
+                load_or_build_iisan_cache)
+            extra = load_or_build_iisan_cache(
+                self.model, params, dict(self.contents.columns),
+                data_name=self.data.name, operator_name=op.transformer_key,
+                selected_layers=op.get_selected_layers(),
+                page_size=self.lego_cfg.cache_page_size,
+                regenerate=regenerate)
+        else:
+            extra = load_or_build_lm_cache(
+                self.model, params, dict(self.contents.columns),
+                data_name=self.data.name, operator_name=op.transformer_key,
+                layer=op.resolved_tune_from,
+                page_size=self.lego_cfg.cache_page_size,
+                regenerate=regenerate)
         self.contents.columns.update(extra)
         return True
 

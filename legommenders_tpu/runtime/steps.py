@@ -70,8 +70,11 @@ def make_eval_step(model, item_contents) -> Callable:
 
 
 def init_params(model, data_or_batch, item_contents, seed: int = 0):
-    """Initialize params with a representative batch."""
+    """Initialize params with a representative batch; uses the model's
+    `warmup` method (if present) so auxiliary paths (offline LM slices)
+    also create their params."""
     rng = jax.random.PRNGKey(seed)
     batch = {k: jnp.asarray(v) for k, v in data_or_batch.items()}
+    method = getattr(model, "warmup", None)
     return model.init({"params": rng, "dropout": rng}, batch,
-                      item_contents, training=False)
+                      item_contents, training=False, method=method)

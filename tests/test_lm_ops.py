@@ -1,0 +1,131 @@
+"""LM operator family: full mode, layer-split cache mode, LoRA, IISAN."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+from legommenders_tpu.data.pipeline import TrainBatcher
+from legommenders_tpu.models.lego_config import LegoConfig
+from legommenders_tpu.runtime.manager import Manager
+from legommenders_tpu.runtime.steps import init_params, make_loss_fn
+
+TINY_LM = {"num_hidden_layers": 2, "num_attention_heads": 2,
+           "max_position": 64, "lm_dtype": jnp.float32}
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return SyntheticProcessor(num_items=40, num_users=20, title_len=8,
+                              history_len=6,
+                              inters_per_user=10).as_lego_data()
+
+
+def build_manager(synth, item_op, item_cfg, hidden=16):
+    model_cfg = {
+        "name": item_op,
+        "meta": {"item": item_op, "user": "Ada", "predictor": "Dot"},
+        "config": {"use_item_content": True, "hidden_size": hidden,
+                   "embedding_dim": 16, "use_neg_sampling": True,
+                   "item_config": item_cfg},
+    }
+    return Manager({}, model_cfg,
+                   exp_cfg={"policy": {"batch_size": 4}}, data=synth)
+
+
+def _first_batch(m):
+    tb = m.train_batcher(seed=0)
+    return {k: jnp.asarray(v) for k, v in next(tb.epoch()).items()}
+
+
+def test_bert_full_mode(synth):
+    m = build_manager(synth, "Bert", {**TINY_LM, "use_lora": False})
+    batch = _first_batch(m)
+    params = init_params(m.model, batch, m.contents.columns)
+    scores = m.model.apply(params, batch, m.contents.columns, training=False)
+    assert scores.shape == (4, 5)
+    assert np.isfinite(np.asarray(scores)).all()
+    # gradients flow into the LM base weights (no LoRA -> trainable)
+    loss_fn = make_loss_fn(m.model, m.contents.columns, True)
+    _, grads = jax.value_and_grad(loss_fn)(params, batch,
+                                           jax.random.PRNGKey(0))
+    lm_grads = grads["params"]["item_op"]["lm"]
+    total = sum(float(np.abs(np.asarray(g)).sum())
+                for g in jax.tree_util.tree_leaves(lm_grads))
+    assert total > 0
+
+
+def test_bert_layer_split_with_lora(synth, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # cache/ written to cwd
+    m = build_manager(synth, "Bert",
+                      {**TINY_LM, "tune_from": 1, "use_lora": True,
+                       "lora_r": 2})
+    op = m.model.item_op
+    assert op.use_lm_cache
+    batch = _first_batch(m)
+    params = init_params(m.model, batch, m.contents.columns)
+    assert m.prepare_lm_cache(params)
+    from legommenders_tpu.models.operators.lm_ops import LM_HIDDEN_KEY
+    assert LM_HIDDEN_KEY in m.contents.columns
+    N = synth.num_items
+    assert m.contents.columns[LM_HIDDEN_KEY].shape[0] == N
+
+    scores = m.model.apply(params, batch, m.contents.columns, training=False)
+    assert scores.shape == (4, 5)
+    assert np.isfinite(np.asarray(scores)).all()
+
+    # with LoRA, base LM kernels receive ZERO grad; lora_A/B receive grad
+    loss_fn = make_loss_fn(m.model, m.contents.columns, True)
+    _, grads = jax.value_and_grad(loss_fn)(params, batch,
+                                           jax.random.PRNGKey(0))
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    base_total, lora_total = 0.0, 0.0
+    for path, g in flat:
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if "lm" not in keys:
+            continue
+        s = float(np.abs(np.asarray(g)).sum())
+        if any(k.startswith("lora_") for k in keys):
+            lora_total += s
+        elif keys[-1] in ("kernel", "bias"):
+            base_total += s
+    assert lora_total > 0, "LoRA params got no gradient"
+    assert base_total == 0, "frozen base weights got gradient"
+
+    # second call loads from disk cache
+    m2 = build_manager(synth, "Bert",
+                       {**TINY_LM, "tune_from": 1, "use_lora": True,
+                        "lora_r": 2})
+    assert m2.prepare_lm_cache(params)
+
+
+def test_opt_and_llama_tiny(synth):
+    for op_name, extra in (("OPT", {}),
+                           ("Llama", {"intermediate_size": 32}),):
+        m = build_manager(synth, op_name,
+                          {**TINY_LM, "use_lora": False,
+                           "lm_dtype": jnp.float32, **extra})
+        batch = _first_batch(m)
+        params = init_params(m.model, batch, m.contents.columns)
+        scores = m.model.apply(params, batch, m.contents.columns,
+                               training=False)
+        assert scores.shape == (4, 5)
+        assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_iisan(synth, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    m = build_manager(synth, "BertIISAN",
+                      {**TINY_LM, "layer_selection_step": 1})
+    op = m.model.item_op
+    assert op.use_lm_cache and op.is_iisan
+    assert op.get_selected_layers() == [0, 1]
+    batch = _first_batch(m)
+    params = init_params(m.model, batch, m.contents.columns)
+    assert m.prepare_lm_cache(params)
+    from legommenders_tpu.models.operators.lm_ops import LM_HIDDEN_KEY
+    states = m.contents.columns[LM_HIDDEN_KEY]
+    assert states.shape == (synth.num_items, 2, 16)
+    scores = m.model.apply(params, batch, m.contents.columns, training=False)
+    assert scores.shape == (4, 5)
+    assert np.isfinite(np.asarray(scores)).all()
