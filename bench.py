@@ -32,7 +32,7 @@ def main():
                    "use_neg_sampling": True, "neg_count": 4,
                    "item_config": {"dropout": 0.1, "kernel_size": 3}},
     }
-    batch_size = 256
+    batch_size = 2048
     m = Manager({}, model_cfg,
                 exp_cfg={"policy": {"batch_size": batch_size}}, data=data)
 

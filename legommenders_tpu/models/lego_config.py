@@ -38,6 +38,7 @@ class LegoConfig:
     use_item_content: bool = True
     use_fast_eval: bool = True
     item_page_size: int = 0
+    full_catalog_encode: str = "auto"
     cache_page_size: int = 512
     item_config: dict = field(default_factory=dict)
     user_config: dict = field(default_factory=dict)
@@ -64,6 +65,7 @@ class LegoConfig:
             use_item_content=bool(cfg.get("use_item_content", True)),
             use_fast_eval=bool(cfg.get("use_fast_eval", True)),
             item_page_size=int(cfg.get("item_page_size") or 0),
+            full_catalog_encode=str(cfg.get("full_catalog_encode", "auto")),
             cache_page_size=int(cfg.get("cache_page_size", 512)),
             item_config=dict(cfg.get("item_config") or {}),
             user_config=dict(cfg.get("user_config") or {}),
@@ -194,6 +196,7 @@ class LegoConfig:
             neg_count=self.neg_count,
             flatten_mode=flatten,
             item_id_vocab=item_id_vocab,
+            full_catalog_encode=self.full_catalog_encode,
             dtype=self.dtype,
         )
         return model, contents, hub

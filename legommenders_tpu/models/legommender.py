@@ -48,6 +48,12 @@ class Legommender(nn.Module):
     neg_count: int = 4
     flatten_mode: bool = False
     item_id_vocab: str = "item_id"   # ID-embedding path vocab
+    # "auto": encode the WHOLE catalog once per step and gather when that
+    # is cheaper than encoding B·(K+S) occurrences — a TPU-first win with
+    # no reference counterpart (identical gradients: unused rows get zero
+    # cotangent; duplicate occurrences accumulate through the gather
+    # transpose exactly as per-occurrence encoding would).
+    full_catalog_encode: str = "auto"   # "auto" | "on" | "off"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -171,15 +177,27 @@ class Legommender(nn.Module):
                     for c, a in hist_contents.items()}
                 user_repr = self.encode_user_flatten(hist_contents, training)
             else:
-                # one fused item-op pass over candidates + clicks
-                safe_hist = jnp.clip(hist_ids, 0, num_items - 1)
-                all_ids = jnp.concatenate(
-                    [safe_cand.reshape(-1), safe_hist.reshape(-1)])
-                contents = {c: jnp.take(a, all_ids, axis=0)
-                            for c, a in item_contents.items()}
-                reprs = self.encode_item_content(contents, training)  # (B*K+B*S, D)
-                item_repr = reprs[: B * K].reshape(B, K, -1)
-                clicks = reprs[B * K:].reshape(B, S, -1)
+                use_catalog = self.full_catalog_encode == "on" or (
+                    self.full_catalog_encode == "auto"
+                    and num_items <= B * (K + S))
+                if use_catalog:
+                    # encode every item once, then gather occurrences
+                    all_reprs = self.encode_item_content(
+                        item_contents, training)             # (N, D)
+                    item_repr = jnp.take(all_reprs, safe_cand, axis=0)
+                    clicks = jnp.take(
+                        all_reprs, jnp.clip(hist_ids, 0, num_items - 1),
+                        axis=0)
+                else:
+                    # one fused item-op pass over candidates + clicks
+                    safe_hist = jnp.clip(hist_ids, 0, num_items - 1)
+                    all_ids = jnp.concatenate(
+                        [safe_cand.reshape(-1), safe_hist.reshape(-1)])
+                    contents = {c: jnp.take(a, all_ids, axis=0)
+                                for c, a in item_contents.items()}
+                    reprs = self.encode_item_content(contents, training)
+                    item_repr = reprs[: B * K].reshape(B, K, -1)
+                    clicks = reprs[B * K:].reshape(B, S, -1)
                 user_repr = self.encode_user(clicks, click_mask, training)
         else:
             item_repr = self.item_id_embedding(cand_ids, training)   # (B, K, D)

@@ -36,6 +36,12 @@ class Manager:
         self.patience = int(store.get("patience", 5))
         self.metrics = list(self.exp_cfg.get("metrics") or DEFAULT_METRICS)
 
+        policy_dtype = str(self.policy.get("dtype") or "").lower()
+        if policy_dtype in ("bf16", "bfloat16"):
+            dtype = jnp.bfloat16
+        elif policy_dtype in ("f32", "float32"):
+            dtype = jnp.float32
+
         self.data = data if data is not None else LegoData.from_config(data_cfg)
         self.lego_cfg = LegoConfig.from_configs(
             self.data, model_cfg or {}, embed_cfg, dtype=dtype)

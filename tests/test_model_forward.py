@@ -63,7 +63,7 @@ def test_training_learns(synth):
 
     rng = jax.random.PRNGKey(0)
     losses = []
-    for epoch in range(12):
+    for epoch in range(16):
         for b in tb.epoch():
             rng, sub = jax.random.split(rng)
             jb = {k: jnp.asarray(v) for k, v in b.items()}
