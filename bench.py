@@ -15,6 +15,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from legommenders_tpu.parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
+
     from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
     from legommenders_tpu.data.pipeline import Prefetcher
     from legommenders_tpu.runtime.manager import Manager

@@ -20,8 +20,12 @@ from legommenders_tpu.data.vocab import Vocab
 from legommenders_tpu.utils.registry import PROCESSORS
 
 
+class _MINDBase(BaseProcessor):
+    pass
+
+
 @PROCESSORS.register
-class MINDProcessor(BaseProcessor):
+class MINDProcessor(_MINDBase):
     name = "mind"
     title_len = 30
     abstract_len = 50
@@ -165,4 +169,46 @@ class MINDProcessor(BaseProcessor):
         users.add_seq_column(
             "neg", [[x for x in row if x != UNSET] for row in negs],
             item_vocab, negs.shape[1])
+        return stores
+
+
+@PROCESSORS.register
+class ONCEMINDProcessor(MINDProcessor):
+    """MIND with a deterministic dev split given by an impression-id list
+    (parity: reference processor/once_mind_processor.py:28-155 — the
+    `path$imp.json` syntax names a JSON list of impression ids that form
+    the validation set instead of the random 10% user split)."""
+
+    name = "oncemind"
+
+    def __init__(self, raw_dir=None, save_dir=None, seed: int = 2023,
+                 imp_list_path: Optional[str] = None, **kw):
+        if raw_dir and "$" in str(raw_dir):
+            raw_dir, imp_list_path = str(raw_dir).split("$", 1)
+        super().__init__(raw_dir, save_dir, seed=seed, **kw)
+        self.imp_list_path = imp_list_path
+
+    def build(self) -> Dict[str, TokenStore]:
+        stores = super().build()
+        if not self.imp_list_path:
+            return stores
+        import json
+
+        with open(self.imp_list_path) as f:
+            dev_imps = set(json.load(f))
+        # merge train+valid back, re-split by impression id
+        merged = {}
+        for part in ("train", "valid"):
+            st = stores[part]
+            for col in st.col_names():
+                merged.setdefault(col, []).append(st[col])
+        cols = {c: np.concatenate(v) for c, v in merged.items()}
+        imp = cols["imp_id"]
+        is_dev = np.isin(imp, np.asarray(sorted(dev_imps), imp.dtype))
+        for part, mask in (("train", ~is_dev), ("valid", is_dev)):
+            st = TokenStore(vocab_hub=self.vocab_hub)
+            for col, arr in cols.items():
+                vocab = stores["train"].col_vocab.get(col)
+                st.add_scalar_column(col, arr[mask], vocab)
+            stores[part] = st
         return stores

@@ -22,6 +22,33 @@ DP_AXIS = "dp"
 MP_AXIS = "mp"
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None):
+    """Multi-host bring-up: jax.distributed.initialize (auto-detected on
+    TPU pods; explicit args for manual launches). Call once per process
+    before any jax computation; afterwards jax.devices() spans the pod and
+    make_mesh() lays the (dp, mp) axes across hosts — collectives ride ICI
+    within a slice and DCN across slices."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def enable_compilation_cache(path: str = "~/.cache/lego_jax_cache"):
+    """Persistent XLA compilation cache — second runs of trainer/bench skip
+    the (slow) TPU compiles."""
+    import os
+
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def make_mesh(n_dp: Optional[int] = None, n_mp: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

@@ -35,11 +35,27 @@ def linear_warmup(lr: float, n_warmup: int) -> optax.Schedule:
 
 class Trainer:
     def __init__(self, manager: Manager, seed: int = 2023,
-                 ckpt_path: Optional[str] = None, log=None):
+                 ckpt_path: Optional[str] = None, log=None,
+                 session: Optional[str] = None, command: str = ""):
         self.m = manager
         self.seed = seed
         self.ckpt_path = ckpt_path
         self.log = log or get_logger("trainer")
+        # live experiment sync (reference trainer.py:86-121, 262-274)
+        self.server = None
+        self.experiment_id = None
+        if session:
+            from legommenders_tpu.utils.server import Server
+            self.server = Server(base_url=session if "://" in session
+                                 else None)
+            if self.server.active:
+                ev = self.server.get_or_create_evaluation(
+                    command, {"seed": seed}) or {}
+                exp = self.server.create_experiment(
+                    ev.get("id", command), seed) or {}
+                self.experiment_id = exp.get("id")
+                if self.experiment_id:
+                    self.server.register_pid(self.experiment_id)
 
         policy = self.m.policy
         lr = float(policy["lr"])
@@ -178,6 +194,17 @@ class Trainer:
         res = self.evaluator.evaluate(self.params, "test")
         self.log.info("test: " + ", ".join(
             f"{k} {v:.4f}" for k, v in res.items()))
+        if self.server is not None and self.experiment_id:
+            log_text = ""
+            for h in self.log.handlers:
+                path = getattr(h, "baseFilename", None)
+                if path:
+                    try:
+                        with open(path) as f:
+                            log_text = f.read()
+                    except OSError:
+                        pass
+            self.server.complete_experiment(self.experiment_id, log_text, res)
         return res
 
     def run(self) -> Dict[str, float]:

@@ -11,8 +11,11 @@ from legommenders_tpu.runtime.trainer import Trainer
 
 class TrainerCLI(BaseLego):
     def run(self):
+        import sys as _sys
         trainer = Trainer(self.manager, seed=self.seed,
-                          ckpt_path=self.ph.ckpt_path, log=self.log)
+                          ckpt_path=self.ph.ckpt_path, log=self.log,
+                          session=self.cli.get("session"),
+                          command=" ".join(_sys.argv[1:]))
         load_sign = (self.cfg.exp.load.sign
                      if self.cfg.exp and self.cfg.exp.load else None)
         if load_sign:
