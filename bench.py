@@ -21,7 +21,7 @@ def main():
     from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
     from legommenders_tpu.data.pipeline import Prefetcher
     from legommenders_tpu.runtime.manager import Manager
-    from legommenders_tpu.runtime.steps import init_params, make_train_step
+    from legommenders_tpu.runtime.steps import init_params, make_train_step_folded
 
     # MIND-small-like scale: NAML geometry from the reference handbook run
     # (hidden 64, batch 64 in the log; we use a TPU-friendly batch 256)
@@ -37,7 +37,8 @@ def main():
     }
     batch_size = 2048
     m = Manager({}, model_cfg,
-                exp_cfg={"policy": {"batch_size": batch_size}}, data=data)
+                exp_cfg={"policy": {"batch_size": batch_size,
+                                    "dtype": "bf16"}}, data=data)
 
     tb = m.train_batcher(seed=0)
     batch0 = next(tb.epoch(shuffle=False))
@@ -45,24 +46,25 @@ def main():
     params = init_params(m.model, jb0, m.contents.columns, seed=0)
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
-    step = make_train_step(m.model, m.contents.columns, opt)
+    step = make_train_step_folded(m.model, m.contents.columns, opt)
 
-    rng = jax.random.PRNGKey(0)
     # warmup / compile
-    params, opt_state, loss = step(params, opt_state, jb0, rng)
+    params, opt_state, loss = step(params, opt_state, jb0, 0)
     jax.block_until_ready(loss)
+
+    def device_batches():
+        while True:
+            for batch in tb.epoch():
+                yield {k: jnp.asarray(v) for k, v in batch.items()}
 
     n_steps = 0
     t0 = time.perf_counter()
     deadline = t0 + 10.0
-    while time.perf_counter() < deadline:
-        for batch in Prefetcher(tb.epoch()):
-            rng, sub = jax.random.split(rng)
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, opt_state, loss = step(params, opt_state, jb, sub)
-            n_steps += 1
-            if time.perf_counter() > deadline:
-                break
+    for jb in Prefetcher(device_batches(), depth=8):
+        params, opt_state, loss = step(params, opt_state, jb, n_steps + 1)
+        n_steps += 1
+        if time.perf_counter() > deadline:
+            break
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 

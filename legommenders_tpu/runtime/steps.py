@@ -60,6 +60,24 @@ def make_train_step(model, item_contents, optimizer,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_train_step_folded(model, item_contents, optimizer,
+                           use_neg_sampling: bool = True,
+                           seed: int = 0) -> Callable:
+    """Hot-loop variant: rng derived in-jit from an int32 step counter
+    (avoids a host-side jax.random.split per step)."""
+    loss_fn = make_loss_fn(model, item_contents, use_neg_sampling)
+    base = jax.random.PRNGKey(seed)
+
+    def step(params, opt_state, batch, step_idx):
+        rng = jax.random.fold_in(base, step_idx)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def make_eval_step(model, item_contents) -> Callable:
     """Returns jitted step(params, batch) -> scores (B, K)."""
 
