@@ -46,3 +46,38 @@ def load_checkpoint(path: str, params_template, opt_state_template=None,
     if os.path.isfile(path + ".meta.json"):
         meta = json_load(path + ".meta.json")
     return params, opt_state, meta
+
+
+# ---------------------------------------------------------------------------
+# Orbax-backed sharded checkpoints (multi-chip: each host writes its param
+# shards; restore honors the target sharding). The msgpack path above
+# host-gathers and is right for single-chip runs.
+# ---------------------------------------------------------------------------
+def save_sharded(path: str, params, opt_state=None,
+                 meta: Optional[Dict[str, Any]] = None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    blob = {"params": params}
+    if opt_state is not None:
+        blob["opt_state"] = opt_state
+    ckptr.save(path, blob, force=True)
+    ckptr.wait_until_finished()
+    if meta is not None:
+        json_save(meta, path + ".meta.json")
+
+
+def load_sharded(path: str, params_template, opt_state_template=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    target = {"params": params_template}
+    if opt_state_template is not None:
+        target["opt_state"] = opt_state_template
+    restored = ckptr.restore(path, target)
+    meta = None
+    if os.path.isfile(path + ".meta.json"):
+        meta = json_load(path + ".meta.json")
+    return (restored["params"], restored.get("opt_state"), meta)

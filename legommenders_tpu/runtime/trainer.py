@@ -114,9 +114,11 @@ class Trainer:
 
     def _simple_dev_loss(self) -> float:
         """Loss-only dev (reference trainer.py:126-153, simple_dev)."""
-        loss_fn = make_loss_fn(self.m.model, self.m.contents.columns,
-                               self.m.lego_cfg.use_neg_sampling)
-        jitted = jax.jit(loss_fn)
+        if not hasattr(self, "_dev_loss_fn"):
+            loss_fn = make_loss_fn(self.m.model, self.m.contents.columns,
+                                   self.m.lego_cfg.use_neg_sampling)
+            self._dev_loss_fn = jax.jit(loss_fn)
+        jitted = self._dev_loss_fn
         rng = jax.random.PRNGKey(0)
         meaner = Meaner()
         from legommenders_tpu.data.pipeline import TrainBatcher
@@ -154,6 +156,7 @@ class Trainer:
                 num_batches = min(num_batches, epoch_batch)
             interval = (num_batches // (-check_interval)
                         if check_interval < 0 else check_interval) or 1
+            pending = []  # device-side losses; synced once per interval
             for i, batch in enumerate(Prefetcher(batcher.epoch())):
                 if epoch_batch and i >= epoch_batch:
                     break
@@ -161,11 +164,16 @@ class Trainer:
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
                 self.params, self.opt_state, loss = step_fn(
                     self.params, self.opt_state, jb, sub)
-                meaner.add(float(loss))
+                pending.append(loss)
                 if (i + 1) % interval == 0:
+                    for l in pending:
+                        meaner.add(float(l))
+                    pending.clear()
                     self.log.info(
                         f"epoch {epoch} [{i+1}/{num_batches}] "
                         f"loss {meaner.mean:.4f}")
+            for l in pending:
+                meaner.add(float(l))
             dt = time.time() - t0
             dev_value = self.dev()
             self.log.info(

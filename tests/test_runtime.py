@@ -90,3 +90,17 @@ def test_early_stop(manager):
     assert mon.push(0.6) == Signal.BEST
     assert mon.push(0.55) == Signal.SKIP
     assert mon.push(0.54) == Signal.STOP
+
+
+def test_orbax_sharded_checkpoint(trained, tmp_path):
+    import jax
+    import numpy as np
+    from legommenders_tpu.runtime.checkpoint import save_sharded, load_sharded
+    trainer, _ = trained
+    path = str(tmp_path / "orbax_ckpt")
+    save_sharded(path, trainer.params, meta={"step": 7})
+    params2, _, meta = load_sharded(path, trainer.params)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meta["step"] == 7
