@@ -23,19 +23,20 @@ def main():
     from legommenders_tpu.runtime.manager import Manager
     from legommenders_tpu.runtime.steps import init_params, make_train_step_folded
 
-    # MIND-small-like scale: NAML geometry from the reference handbook run
-    # (hidden 64, batch 64 in the log; we use a TPU-friendly batch 256)
+    # MIND-small scale: 65k-item catalog, NAML geometry from the reference
+    # handbook run (hidden 64; TPU-friendly batch 4096)
     data = SyntheticProcessor(
-        num_items=5000, num_users=2000, title_len=30, history_len=50,
-        vocab_size=20000, inters_per_user=12).as_lego_data()
+        num_items=65000, num_users=20000, title_len=30, history_len=50,
+        vocab_size=30000, inters_per_user=12).as_lego_data()
     model_cfg = {
         "name": "NAML",
         "meta": {"item": "CNN", "user": "Ada", "predictor": "Dot"},
         "config": {"use_item_content": True, "hidden_size": 64,
                    "use_neg_sampling": True, "neg_count": 4,
+                   "full_catalog_encode": "on",
                    "item_config": {"dropout": 0.1, "kernel_size": 3}},
     }
-    batch_size = 2048
+    batch_size = 8192
     m = Manager({}, model_cfg,
                 exp_cfg={"policy": {"batch_size": batch_size,
                                     "dtype": "bf16"}}, data=data)

@@ -98,11 +98,17 @@ class Manager:
             neg_count=self.lego_cfg.neg_count,
             use_neg_sampling=self.lego_cfg.use_neg_sampling, seed=seed)
 
+    @property
+    def eval_batch_size(self) -> int:
+        """Eval batches are pure gathers+predictor on the cached path, so
+        default to 4x the train batch (policy `eval_batch_size` overrides)."""
+        return int(self.policy.get("eval_batch_size")
+                   or 4 * int(self.policy["batch_size"]))
+
     def eval_batcher(self, phase: str) -> EvalBatcher:
-        return EvalBatcher(self.data, phase,
-                           int(self.policy["batch_size"]))
+        return EvalBatcher(self.data, phase, self.eval_batch_size)
 
     def evaluator(self) -> Evaluator:
         return Evaluator(self.model, self.contents.columns, self.data,
-                         int(self.policy["batch_size"]), self.metrics,
+                         self.eval_batch_size, self.metrics,
                          cache=self.cache)
