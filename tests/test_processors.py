@@ -1,0 +1,188 @@
+"""Processor tests with fake raw-data fixtures: MIND TSVs, xMIND news,
+RecBench parquet."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from legommenders_tpu.utils.registry import PROCESSORS
+import legommenders_tpu.data.processors  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def fake_mind(tmp_path_factory, rng):
+    """Tiny MIND raw layout: train/ + dev/ with news.tsv + behaviors.tsv."""
+    root = tmp_path_factory.mktemp("mind_raw")
+    cats = ["news", "sports", "finance"]
+    nids = [f"N{i}" for i in range(30)]
+    for split in ("train", "dev"):
+        d = root / split
+        d.mkdir()
+        with open(d / "news.tsv", "w") as f:
+            for i, nid in enumerate(nids):
+                f.write(f"{nid}\t{cats[i % 3]}\tsub{i % 5}\t"
+                        f"Title words number {i} extra\t"
+                        f"Abstract text for item {i}\n")
+        with open(d / "behaviors.tsv", "w") as f:
+            for b in range(40):
+                uid = f"U{b % 15}"
+                hist = " ".join(rng.choice(nids, size=4, replace=False))
+                imps = " ".join(
+                    f"{n}-{int(rng.random() < 0.3)}"
+                    for n in rng.choice(nids, size=5, replace=False))
+                f.write(f"{b}\t{uid}\t2020-01-01\t{hist}\t{imps}\n")
+    return str(root)
+
+
+def test_mind_processor(fake_mind, tmp_path):
+    cls = PROCESSORS["mind"]
+    p = cls(raw_dir=fake_mind, save_dir=str(tmp_path / "mind"))
+    stores = p.load(regenerate=True)
+    assert len(stores["items"]) == 30
+    assert stores["items"]["title"].shape[1] == 30
+    assert set(stores["items"].col_names()) >= {
+        "title", "abstract", "category", "subcategory", "item_id"}
+    assert len(stores["users"]) == 15
+    # train/valid partition users disjointly
+    tr_u = set(stores["train"]["user_id"].tolist())
+    va_u = set(stores["valid"]["user_id"].tolist())
+    assert not (tr_u & va_u)
+    assert len(stores["test"]) > 0
+    # negatives aggregated
+    assert "neg" in stores["users"]
+    # cache-hit reload
+    stores2 = p.load(regenerate=False)
+    np.testing.assert_array_equal(stores2["items"]["title"],
+                                  stores["items"]["title"])
+
+
+def test_xmind_processor(fake_mind, tmp_path, rng):
+    # first build the English MIND store
+    mind_dir = str(tmp_path / "mind")
+    PROCESSORS["mind"](raw_dir=fake_mind, save_dir=mind_dir).load(True)
+    # fake xMIND raw: translated titles for a subset of nids
+    xroot = tmp_path / "xmind_raw" / "xMINDsmall_train"
+    xroot.mkdir(parents=True)
+    with open(xroot / "news.tsv", "w") as f:
+        for i in range(30):
+            f.write(f"N{i}\tTitel nummer {i}\tZusammenfassung {i}\n")
+    cls = PROCESSORS["xmind-cmn"]
+    p = cls(raw_dir=str(tmp_path / "xmind_raw"),
+            save_dir=str(tmp_path / "xmind"), mind_dir=mind_dir)
+    stores = p.build()
+    assert "title@cmn" in stores["items"]
+    assert stores["items"]["title@cmn"].shape[0] == 30
+
+
+def test_recbench_processor(tmp_path, rng):
+    pd = pytest.importorskip("pandas")
+    try:
+        import pyarrow  # noqa: F401
+    except ImportError:
+        pytest.skip("pyarrow unavailable")
+    raw = tmp_path / "rb"
+    raw.mkdir()
+    items = pd.DataFrame({
+        "item_id": [f"b{i}" for i in range(20)],
+        "title": [f"book title {i} words" for i in range(20)]})
+    users = pd.DataFrame({
+        "user_id": [f"u{i}" for i in range(10)],
+        "history": [[f"b{j}" for j in rng.choice(20, 3, replace=False)]
+                    for _ in range(10)]})
+    inter_rows = []
+    for u in range(10):
+        for _ in range(6):
+            inter_rows.append((f"u{u}", f"b{int(rng.integers(20))}",
+                               int(rng.random() < 0.4)))
+    fin = pd.DataFrame(inter_rows[:40],
+                       columns=["user_id", "item_id", "click"])
+    test = pd.DataFrame(inter_rows[40:],
+                        columns=["user_id", "item_id", "click"])
+    items.to_parquet(raw / "items.parquet")
+    users.to_parquet(raw / "users.parquet")
+    fin.to_parquet(raw / "finetune.parquet")
+    test.to_parquet(raw / "test.parquet")
+    with open(raw / "valid_user_set_0.1.txt", "w") as f:
+        f.write("u0\n")
+
+    os.makedirs(tmp_path / "config" / "data", exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cls = PROCESSORS["goodreadsrb"]
+        p = cls(raw_dir=str(raw), save_dir=str(tmp_path / "out"))
+        stores = p.build()
+    finally:
+        os.chdir(cwd)
+    assert len(stores["items"]) == 20
+    assert len(stores["users"]) == 10
+    assert set(stores["valid"]["user_id"].tolist()) <= {0}
+    assert (tmp_path / "config" / "data" / "goodreadsrb.yaml").exists()
+
+
+def test_oncemind_processor(fake_mind, tmp_path):
+    # impression-id dev split
+    imp_file = tmp_path / "imps.json"
+    with open(imp_file, "w") as f:
+        json.dump(list(range(1, 10)), f)
+    cls = PROCESSORS["oncemind"]
+    p = cls(raw_dir=fake_mind, save_dir=str(tmp_path / "oncemind"),
+            imp_list_path=str(imp_file))
+    stores = p.build()
+    dev_imps = set(stores["valid"]["imp_id"].tolist())
+    assert dev_imps <= set(range(1, 10))
+    train_imps = set(stores["train"]["imp_id"].tolist())
+    assert not (train_imps & set(range(1, 10)))
+
+
+def test_mind_end_to_end_training(fake_mind, tmp_path):
+    """process -> data config -> Manager -> a few train steps + eval."""
+    import jax.numpy as jnp
+    from legommenders_tpu.config.parser import load_config
+    from legommenders_tpu.data.dataset import LegoData
+    from legommenders_tpu.runtime.manager import Manager
+    from legommenders_tpu.runtime.trainer import Trainer
+
+    save_dir = str(tmp_path / "mind")
+    PROCESSORS["mind"](raw_dir=fake_mind, save_dir=save_dir).load(True)
+    cfg_path = tmp_path / "mind.yaml"
+    cfg_path.write_text(f"""
+name: mind
+base_dir: {save_dir}
+item:
+  ut: ${{base_dir}}/items
+  inputs:
+    - title: 20
+    - category
+user:
+  ut: ${{base_dir}}/users
+  truncate: 10
+inter:
+  train: ${{base_dir}}/train
+  dev: ${{base_dir}}/valid
+  test: ${{base_dir}}/test
+  filters:
+    history:
+      - "lambda x: x"
+column_map:
+  item_col: item_id
+  user_col: user_id
+  history_col: history
+  neg_col: neg
+  label_col: click
+  group_col: imp_id
+""")
+    data = LegoData.from_config(load_config(str(cfg_path)))
+    assert data.items["title"].shape[1] == 20
+    m = Manager({}, {"meta": {"item": "CNN", "user": "Ada",
+                              "predictor": "Dot"},
+                     "config": {"use_item_content": True,
+                                "hidden_size": 16}},
+                exp_cfg={"policy": {"epoch": 2, "batch_size": 8,
+                                    "lr": 3e-3}},
+                data=data)
+    tr = Trainer(m, seed=1)
+    tr.train()
+    res = tr.test()
+    assert np.isfinite(res["GAUC"])
