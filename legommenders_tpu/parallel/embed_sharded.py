@@ -80,3 +80,22 @@ def pad_rows_for_sharding(table: jnp.ndarray, n_shards: int) -> jnp.ndarray:
         table = jnp.concatenate(
             [table, jnp.zeros((rem, table.shape[1]), table.dtype)], axis=0)
     return table
+
+
+def sharded_catalog_scores(user_repr: jnp.ndarray, item_repr: jnp.ndarray,
+                           mesh: Mesh) -> jnp.ndarray:
+    """Sharded serving: item cache stays row-sharded over mp; each shard
+    scores the (replicated) user batch against its local items and the
+    score matrix comes back sharded on the item axis — zero item-repr
+    movement (BASELINE north star: 'caches left sharded for sharded
+    scoring'). user (B, D), items (N, D) -> (B, N)."""
+
+    def f(u, local_items):
+        return jnp.einsum("bd,nd->bn", u, local_items)
+
+    return shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), P(MP_AXIS, None)),
+        out_specs=P(None, MP_AXIS),
+        check_rep=False,
+    )(user_repr, item_repr)

@@ -106,3 +106,53 @@ def test_sharded_lookup_padding():
     p = pad_rows_for_sharding(t, 8)
     assert p.shape == (16, 4)
     assert float(p[10:].sum()) == 0.0
+
+
+def test_sequence_parallel_additive_attention():
+    """SP additive pooling == single-device masked softmax pool, fwd+grad."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from legommenders_tpu.ops.core import additive_attention_pool
+    from legommenders_tpu.ops.sp_additive import sp_additive_attention
+
+    rng = np.random.default_rng(5)
+    devices = np.asarray(jax.devices()[:8])
+    mesh = Mesh(devices, ("sp",))
+    B, L, D = 6, 40, 16  # L divisible by 8 shards
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    m = jnp.asarray((rng.random((B, L)) < 0.7).astype(np.float32))
+
+    want = additive_attention_pool(x, s, m)
+    with mesh:
+        got = sp_additive_attention(x, s, m, mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss_sp(x, s):
+            return jnp.sum(sp_additive_attention(x, s, m, mesh) ** 2)
+
+        def loss_ref(x, s):
+            return jnp.sum(additive_attention_pool(x, s, m) ** 2)
+
+        g1 = jax.grad(loss_sp, argnums=(0, 1))(x, s)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(x, s)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_catalog_scoring():
+    import jax.numpy as jnp
+    from legommenders_tpu.parallel.mesh import make_mesh
+    from legommenders_tpu.parallel.embed_sharded import sharded_catalog_scores
+
+    rng = np.random.default_rng(9)
+    mesh = make_mesh(n_dp=1, n_mp=8)
+    B, N, D = 4, 64, 16
+    u = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    with mesh:
+        got = sharded_catalog_scores(u, it, mesh)
+    want = u @ it.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
