@@ -63,16 +63,25 @@ class Trainer:
         base_opt = optax.adam(schedule)
         item_lr = policy.get("item_lr")
         if item_lr:
-            # dual LR: pretrained item-op params at item_lr
-            # (reference base_lego.py:175-209)
+            # dual LR: PRETRAINED item-op params at item_lr — the operator
+            # declares its pretrained subtrees (LM ops: ["lm"]), matching
+            # the reference's get_pretrained_parameter_names signal
+            # (base_lego.py:175-209, once_operator.py:153-154)
             item_sched = linear_warmup(float(item_lr),
                                        int(policy["n_warmup"] or 0))
+            signals = []
+            item_op = self.m.model.item_op
+            if item_op is not None:
+                getter = getattr(item_op, "get_pretrained_parameter_names",
+                                 None)
+                signals = list(getter()) if getter else []
 
             def label_fn(params):
                 def label(path, _):
-                    inside_item = any(getattr(p, "key", None) == "item_op"
-                                      for p in path)
-                    return "item" if inside_item else "other"
+                    keys = [str(getattr(p, "key", "")) for p in path]
+                    if "item_op" in keys and any(s in keys for s in signals):
+                        return "item"
+                    return "other"
                 return jax.tree_util.tree_map_with_path(label, params)
 
             self.optimizer = optax.multi_transform(

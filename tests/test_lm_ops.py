@@ -129,3 +129,27 @@ def test_iisan(synth, tmp_path, monkeypatch):
     scores = m.model.apply(params, batch, m.contents.columns, training=False)
     assert scores.shape == (4, 5)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_lm_trainer_end_to_end(synth, tmp_path, monkeypatch):
+    """Trainer drives a tune_from BERT + LoRA model: lm-cache prepared at
+    init, dual item_lr labels only the LM subtree, training runs."""
+    monkeypatch.chdir(tmp_path)
+    import optax
+    from legommenders_tpu.runtime.trainer import Trainer
+
+    m = build_manager(synth, "Bert",
+                      {**TINY_LM, "tune_from": 1, "use_lora": True,
+                       "lora_r": 2})
+    m.policy.update({"epoch": 2, "lr": 3e-3, "item_lr": 1e-4,
+                     "batch_size": 4})
+    m.metrics = ["GAUC"]
+    tr = Trainer(m, seed=3)
+    tr.init()
+    from legommenders_tpu.models.operators.lm_ops import LM_HIDDEN_KEY
+    assert LM_HIDDEN_KEY in m.contents.columns  # cache prepared at init
+    # dual-LR labels: only item_op/lm params marked "item"
+    labels = tr.optimizer  # multi_transform built
+    tr.train()
+    res = tr.test()
+    assert np.isfinite(res["GAUC"])
