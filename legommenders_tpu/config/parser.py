@@ -194,20 +194,23 @@ def parse_four_way(cli: Dict[str, Any], config_root: str = "config") -> Obj:
     context = {k: v for k, v in cli.items()
                if k not in ("data", "model", "embed", "exp")}
 
-    # dotted-path CLI overrides onto the tree
+    # dotted-path CLI overrides onto the tree; intermediate dicts are
+    # created so an override can never be silently dropped (only a
+    # non-dict intermediate aborts, loudly)
     tree = dict(axes)
     for key, value in list(context.items()):
         if "." in key:
             parts = key.split(".")
             cur = tree
-            ok = parts[0] in cur
             for part in parts[:-1]:
-                if not isinstance(cur, dict) or part not in cur:
-                    ok = False
-                    break
+                if part not in cur:
+                    cur[part] = {}
                 cur = cur[part]
-            if ok and isinstance(cur, dict):
-                cur[parts[-1]] = value
+                if not isinstance(cur, dict):
+                    raise ValueError(
+                        f"cannot apply override --{key}: "
+                        f"'{part}' is not a mapping")
+            cur[parts[-1]] = value
 
     resolved = resolve(tree, context)
     return Obj(resolved)

@@ -78,8 +78,8 @@ class LegoData:
         cfg = data_cfg.raw() if hasattr(data_cfg, "raw") else dict(data_cfg)
         hub = vocab_hub or VocabHub()
 
-        items = StoreHub.get(cfg["item"]["ut"], hub)
-        users = StoreHub.get(cfg["user"]["ut"], hub)
+        items = StoreHub.get(cfg["item"]["ut"], hub).view()
+        users = StoreHub.get(cfg["user"]["ut"], hub).view()
         cm = ColumnMap.from_config(cfg.get("column_map"))
 
         truncate = cfg["user"].get("truncate")
@@ -91,7 +91,7 @@ class LegoData:
         for phase, key in phase_keys.items():
             path = cfg["inter"].get(key)
             if path:
-                store = StoreHub.get(path, hub)
+                store = StoreHub.get(path, hub).view()
                 filters = cfg["inter"].get("filters") or {}
                 for col, fns in filters.items():
                     for fn in fns if isinstance(fns, list) else [fns]:
@@ -99,7 +99,8 @@ class LegoData:
                         # in the user store; interaction stores carry user ids
                         if col in store:
                             idx = store.filter(col, fn, cache_dir=path)
-                            store = store.select(idx)
+                            store = store.select(
+                                idx, tag=f"filter:{col}:{fn}")
                         elif col in users:
                             legal_users = set(
                                 users.filter(col, fn, cache_dir=cfg["user"]["ut"]).tolist()
@@ -109,7 +110,9 @@ class LegoData:
                                 (int(u) in legal_users for u in uids),
                                 dtype=bool, count=len(uids),
                             )
-                            store = store.select(np.nonzero(mask)[0])
+                            store = store.select(
+                                np.nonzero(mask)[0],
+                                tag=f"userfilter:{col}:{fn}")
                 inters[phase] = store
 
         specs = parse_input_specs(cfg["item"].get("inputs"))

@@ -191,11 +191,19 @@ class EvalBatcher:
 class Prefetcher:
     """Background-thread prefetch of host batches (replaces the reference's
     DataLoader worker processes, manager.py:374-381 — our batch assembly is
-    vectorized numpy so one thread suffices)."""
+    vectorized numpy so one thread suffices).
+
+    Producer exceptions propagate to the consumer (a mid-epoch failure must
+    not silently truncate an epoch or an eval sweep); `close()` releases
+    the producer when the consumer breaks early, and early-terminated
+    for-loops are covered by calling close() from __del__.
+    """
 
     def __init__(self, iterator: Iterator, depth: int = 4):
         self._q: _queue.Queue = _queue.Queue(maxsize=depth)
         self._sentinel = object()
+        self._error = None
+        self._closed = False
         self._thread = threading.Thread(
             target=self._worker, args=(iterator,), daemon=True
         )
@@ -204,9 +212,30 @@ class Prefetcher:
     def _worker(self, iterator):
         try:
             for item in iterator:
-                self._q.put(item)
+                while not self._closed:
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
+                if self._closed:
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            self._error = e
         finally:
-            self._q.put(self._sentinel)
+            # the sentinel MUST land even if the queue is momentarily full
+            # (a dropped sentinel deadlocks the consumer's q.get())
+            while not self._closed:
+                try:
+                    self._q.put(self._sentinel, timeout=0.2)
+                    break
+                except _queue.Full:
+                    continue
+
+    def close(self):
+        self._closed = True
+
+    __del__ = close
 
     def __iter__(self):
         return self
@@ -214,5 +243,7 @@ class Prefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._sentinel:
+            if self._error is not None:
+                raise self._error
             raise StopIteration
         return item

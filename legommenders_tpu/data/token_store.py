@@ -33,11 +33,15 @@ class TokenStore:
         col_vocab: Optional[Dict[str, str]] = None,
         vocab_hub: Optional[VocabHub] = None,
         key_col: Optional[str] = None,
+        lineage: tuple = (),
     ):
         self.columns: Dict[str, np.ndarray] = columns or {}
         self.col_vocab: Dict[str, str] = col_vocab or {}
         self.vocab_hub = vocab_hub or VocabHub()
         self.key_col = key_col
+        # history of row-subsetting operations — part of the filter-cache
+        # key so cached indices are only reused for an identical pipeline
+        self.lineage: tuple = lineage
 
     # ------------------------------------------------------------------
     def __len__(self) -> int:
@@ -103,18 +107,30 @@ class TokenStore:
         return (arr != UNSET).sum(axis=1).astype(np.int32)
 
     def truncate(self, col: str, max_len: int):
-        """UniTok `retruncate` equivalent: clip a sequence column."""
+        """UniTok `retruncate` equivalent: clip a sequence column.
+        Replaces the column array (no in-place mutation of shared arrays)
+        and records the operation in the lineage."""
         arr = self.columns[col]
         if arr.ndim == 2 and arr.shape[1] > max_len:
             self.columns[col] = np.ascontiguousarray(arr[:, :max_len])
         elif arr.ndim == 2 and arr.shape[1] < max_len:
             pad = np.full((arr.shape[0], max_len - arr.shape[1]), UNSET, np.int32)
             self.columns[col] = np.concatenate([arr, pad], axis=1)
+        self.lineage = self.lineage + (f"truncate:{col}:{max_len}",)
         return self
 
-    def select(self, indices: np.ndarray) -> "TokenStore":
+    def view(self) -> "TokenStore":
+        """Shallow copy: shares column arrays but owns its dicts/lineage,
+        so truncation/union on the view never mutates a StoreHub-cached
+        original."""
+        return TokenStore(dict(self.columns), dict(self.col_vocab),
+                          self.vocab_hub, self.key_col, self.lineage)
+
+    def select(self, indices: np.ndarray, tag: str = "select") -> "TokenStore":
         cols = {k: np.ascontiguousarray(v[indices]) for k, v in self.columns.items()}
-        return TokenStore(cols, dict(self.col_vocab), self.vocab_hub, self.key_col)
+        return TokenStore(cols, dict(self.col_vocab), self.vocab_hub,
+                          self.key_col,
+                          lineage=self.lineage + (f"{tag}:{len(indices)}",))
 
     def union(self, other: "TokenStore", cols: Optional[List[str]] = None):
         """Merge columns of another store of identical row order
@@ -136,10 +152,16 @@ class TokenStore:
         `fn` may be a python callable or a `"lambda x: ..."` string (the
         reference eval's these, lego_ut.py:236). For sequence columns the
         value passed is the un-padded id list.
+
+        Persistent caching only applies to STRING filters (a callable's
+        identity can't be fingerprinted); the key covers the filter string,
+        the store's row count AND its lineage of prior subsetting
+        operations, so stale indices are never reused after an upstream
+        filter changes.
         """
         key = None
-        if cache_dir is not None:
-            blob = f"{col}::{fn if isinstance(fn, str) else getattr(fn, '__name__', repr(fn))}"
+        if cache_dir is not None and isinstance(fn, str):
+            blob = f"{col}::{fn}::{len(self)}::{'|'.join(self.lineage)}"
             key = hashlib.md5(blob.encode()).hexdigest()[:16]
             cpath = os.path.join(cache_dir, "filters", f"{key}.npy")
             if os.path.isfile(cpath):

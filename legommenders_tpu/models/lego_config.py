@@ -104,10 +104,18 @@ class LegoConfig:
             for col, _ in data.item_inputs
         )
         for col, vocab, _ in item_cols:
+            v = data.items.vocab_of(col)
+            fitted_size = len(v) if v else int(data.items[col].max()) + 1
             if not hub.has(vocab):
-                v = data.items.vocab_of(col)
-                hub.register_vocab(vocab, len(v) if v else
-                                   int(data.items[col].max()) + 1)
+                hub.register_vocab(vocab, fitted_size)
+            elif hub.size_of(vocab) < fitted_size:
+                # reference raises on vocab-size conflicts
+                # (embedding_hub.py:346-360) — a pretrained table smaller
+                # than the fitted vocab would silently clip token ids
+                raise ValueError(
+                    f"pretrained embedding for vocab '{vocab}' has "
+                    f"{hub.size_of(vocab)} rows but the fitted vocab has "
+                    f"{fitted_size} tokens; re-export the embedding")
 
         item_id_vocab = data.cm.col_vocabs.get(data.cm.history_col, "item_id")
         if not self.use_item_content and not hub.has(item_id_vocab):
@@ -187,8 +195,11 @@ class LegoConfig:
             predictor=predictor,
             item_inputer=item_inputer,
             user_inputer=user_inputer,
+            # batch-schema keys are fixed by the pipeline (pipeline.py
+            # emits "history"/"mask"/"candidates" regardless of the
+            # data-side column names in ColumnMap)
             candidate_col="candidates",
-            history_col=data.cm.history_col,
+            history_col="history",
             mask_col="mask",
             user_col=data.cm.user_col,
             use_item_content=self.use_item_content,

@@ -52,6 +52,7 @@ class LMOperator(BaseOperator):
     lm_dtype: jnp.dtype = jnp.float32
 
     inputer_class = ConcatInputer
+    hf_family: str = ""  # "bert" | "llama" | "opt" — hf_loader mapping
 
     @property
     def use_lm_cache(self) -> bool:
@@ -118,6 +119,7 @@ class LMOperator(BaseOperator):
 class BertOperator(LMOperator):
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
+    hf_family: str = "bert"
 
     def make_slice(self, start, num_layers, trainable, name="lm", **extra):
         return BertEncoderSlice(
@@ -140,6 +142,7 @@ class BertLargeOperator(BertOperator):
 
 @OPERATORS.register
 class LlamaOperator(LMOperator):
+    hf_family: str = "llama"
     num_hidden_layers: int = 32
     num_attention_heads: int = 32
     num_kv_heads: Optional[int] = None
@@ -174,6 +177,7 @@ class Llama3Operator(LlamaOperator):
 
 @OPERATORS.register
 class OPTOperator(LMOperator):
+    hf_family: str = "opt"
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
     ffn_dim: Optional[int] = None
@@ -205,6 +209,8 @@ class GLMOperator(LlamaOperator):
     """ChatGLM family (reference glm_operator.py + vendored
     glm_interface.py): rotary attention decoder; modeled with the Llama
     slice geometry (RMSNorm + rotary + gated MLP) with GLM defaults."""
+
+    hf_family: str = ""  # GLM checkpoint layout not auto-mapped yet
 
     num_hidden_layers: int = 28
     num_attention_heads: int = 32

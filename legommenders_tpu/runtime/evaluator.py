@@ -24,7 +24,8 @@ def collect_scores(step_fn, params, batcher: EvalBatcher,
 
     scores_all, labels_all, groups_all = [], [], []
     n = 0
-    for batch in Prefetcher(batcher.epoch()):
+    prefetcher = Prefetcher(batcher.epoch())
+    for batch in prefetcher:
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if k in ("history", "mask", "candidates", "user_id")}
         if latency_timer is not None:
@@ -40,6 +41,7 @@ def collect_scores(step_fn, params, batcher: EvalBatcher,
         groups_all.append(batch["group"][v])
         n += 1
         if max_batches and n >= max_batches:
+            prefetcher.close()
             break
     return (np.concatenate(scores_all), np.concatenate(labels_all),
             np.concatenate(groups_all))

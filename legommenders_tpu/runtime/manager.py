@@ -112,3 +112,60 @@ class Manager:
         return Evaluator(self.model, self.contents.columns, self.data,
                          self.eval_batch_size, self.metrics,
                          cache=self.cache)
+
+    def load_lm_weights(self, params, log=None):
+        """Port HF checkpoint weights into the LM slices (reference:
+        AutoModel.from_pretrained at component build, once_operator.py:51).
+        The checkpoint path comes from the `.model` dotfile keyed by the
+        operator's transformer_key. Returns (params, loaded: bool); missing
+        checkpoints are a loud no-op (training continues from random init,
+        which is only meaningful for tests/benchmarks)."""
+        import os
+        from legommenders_tpu.config.dotfiles import ModelInit
+        from legommenders_tpu.models.operators.lm_ops import LMOperator
+        from legommenders_tpu.models.lm import hf_loader
+        from legommenders_tpu.utils.logging import get_logger
+
+        log = log or get_logger("manager")
+        op = self.model.item_op
+        if not isinstance(op, LMOperator):
+            return params, False
+        path = ModelInit.get(op.transformer_key)
+        if not path or not os.path.isdir(path):
+            log.warning(
+                f"no local HF checkpoint for '{op.transformer_key}' "
+                f"(.model dotfile) — LM runs from RANDOM init")
+            return params, False
+        sd = hf_loader.load_torch_state_dict(path)
+        start = op.resolved_tune_from
+        n = op.num_hidden_layers
+        fam = op.hf_family
+        if fam == "bert":
+            upper = hf_loader.bert_slice_params(
+                sd, start, n - start, embed=(start == 0))
+            lower = (hf_loader.bert_slice_params(sd, 0, start, embed=True)
+                     if start > 0 else None)
+        elif fam == "llama":
+            upper = hf_loader.llama_slice_params(sd, start, n - start,
+                                                 final_norm=True)
+            lower = (hf_loader.llama_slice_params(sd, 0, start,
+                                                  final_norm=False)
+                     if start > 0 else None)
+        elif fam == "opt":
+            upper = hf_loader.opt_slice_params(
+                sd, start, n - start, embed_positions=(start == 0),
+                final_norm=True)
+            lower = (hf_loader.opt_slice_params(sd, 0, start,
+                                                embed_positions=True,
+                                                final_norm=False)
+                     if start > 0 else None)
+        else:
+            log.warning(f"no HF mapping for family {type(op).__name__}")
+            return params, False
+        params = hf_loader.merge_lm_params(
+            params, upper, ("params", "item_op", "lm"))
+        if lower is not None:
+            params = hf_loader.merge_lm_params(
+                params, lower, ("params", "item_op", "lm_lower"))
+        log.info(f"loaded HF weights for {op.transformer_key} from {path}")
+        return params, True

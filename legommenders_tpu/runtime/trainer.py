@@ -95,9 +95,12 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self.evaluator = self.m.evaluator()
+        # simple_dev monitors the raw dev loss (minimize), otherwise the
+        # dev metric's own direction (reference trainer.py:164)
         self.monitor = Monitor(
             patience=self.m.patience,
-            minimize=MetricPool.is_minimize(self.m.dev_metric))
+            minimize=bool(policy.get("simple_dev"))
+            or MetricPool.is_minimize(self.m.dev_metric))
 
     # ------------------------------------------------------------------ #
     def init(self, batch=None):
@@ -105,6 +108,7 @@ class Trainer:
             batch = next(self.m.train_batcher(self.seed).epoch(shuffle=False))
         self.params = init_params(self.m.model, batch,
                                   self.m.contents.columns, seed=self.seed)
+        self.params, _ = self.m.load_lm_weights(self.params, log=self.log)
         if self.m.prepare_lm_cache(self.params):
             self.log.info("LM layer-split cache prepared")
         self.opt_state = self.optimizer.init(self.params)
@@ -117,7 +121,7 @@ class Trainer:
     def dev(self) -> float:
         policy = self.m.policy
         if policy.get("simple_dev"):
-            return -self._simple_dev_loss()
+            return self._simple_dev_loss()
         res = self.evaluator.evaluate(self.params, "dev")
         return res[self.m.dev_metric]
 
@@ -166,8 +170,10 @@ class Trainer:
             interval = (num_batches // (-check_interval)
                         if check_interval < 0 else check_interval) or 1
             pending = []  # device-side losses; synced once per interval
-            for i, batch in enumerate(Prefetcher(batcher.epoch())):
+            prefetcher = Prefetcher(batcher.epoch())
+            for i, batch in enumerate(prefetcher):
                 if epoch_batch and i >= epoch_batch:
+                    prefetcher.close()
                     break
                 rng, sub = jax.random.split(rng)
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
