@@ -22,7 +22,7 @@ def collect_scores(step_fn, params, batcher: EvalBatcher,
     (scores, labels, groups) for valid rows."""
     import jax.numpy as jnp
 
-    scores_all, labels_all, groups_all = [], [], []
+    device_scores, valids, labels_all, groups_all = [], [], [], []
     n = 0
     prefetcher = Prefetcher(batcher.epoch())
     for batch in prefetcher:
@@ -34,17 +34,21 @@ def collect_scores(step_fn, params, batcher: EvalBatcher,
             latency_timer.stop("forward")
         else:
             out = step_fn(params, jb)
-        s = np.asarray(out).reshape(len(batch["valid"]), -1)[:, 0]
-        v = batch["valid"] > 0
-        scores_all.append(s[v])
-        labels_all.append(batch["label"][v])
-        groups_all.append(batch["group"][v])
+        # keep scores on device; one host transfer at the end (the
+        # per-batch np.asarray sync dominated large eval sweeps)
+        device_scores.append(out.reshape(len(batch["valid"]), -1)[:, 0])
+        valids.append(batch["valid"] > 0)
+        labels_all.append(batch["label"])
+        groups_all.append(batch["group"])
         n += 1
         if max_batches and n >= max_batches:
             prefetcher.close()
             break
-    return (np.concatenate(scores_all), np.concatenate(labels_all),
-            np.concatenate(groups_all))
+    scores = np.asarray(jnp.concatenate(device_scores))
+    valid = np.concatenate(valids)
+    return (scores[valid],
+            np.concatenate(labels_all)[valid],
+            np.concatenate(groups_all)[valid])
 
 
 class Evaluator:

@@ -150,10 +150,11 @@ class Trainer:
         policy = self.m.policy
         if self.params is None:
             self.init()
-        step_fn = make_train_step(
+        from legommenders_tpu.runtime.steps import make_train_step_folded
+        step_fn = make_train_step_folded(
             self.m.model, self.m.contents.columns, self.optimizer,
-            self.m.lego_cfg.use_neg_sampling)
-        rng = jax.random.PRNGKey(self.seed)
+            self.m.lego_cfg.use_neg_sampling, seed=self.seed)
+        global_step = 0
         epoch_batch = int(policy.get("epoch_batch") or 0)
         check_interval = int(policy.get("check_interval") or -2)
 
@@ -170,15 +171,21 @@ class Trainer:
             interval = (num_batches // (-check_interval)
                         if check_interval < 0 else check_interval) or 1
             pending = []  # device-side losses; synced once per interval
-            prefetcher = Prefetcher(batcher.epoch())
-            for i, batch in enumerate(prefetcher):
+
+            def device_batches():
+                # convert to device arrays inside the prefetch thread so
+                # the H2D transfer overlaps the train step
+                for b in batcher.epoch():
+                    yield {k: jnp.asarray(v) for k, v in b.items()}
+
+            prefetcher = Prefetcher(device_batches(), depth=4)
+            for i, jb in enumerate(prefetcher):
                 if epoch_batch and i >= epoch_batch:
                     prefetcher.close()
                     break
-                rng, sub = jax.random.split(rng)
-                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                global_step += 1
                 self.params, self.opt_state, loss = step_fn(
-                    self.params, self.opt_state, jb, sub)
+                    self.params, self.opt_state, jb, global_step)
                 pending.append(loss)
                 if (i + 1) % interval == 0:
                     for l in pending:
