@@ -102,11 +102,16 @@ class MINDProcessor(_MINDBase):
         items.add_scalar_column(
             "item_id", np.arange(len(ordered), dtype=np.int32), item_vocab)
 
-        for name, (tok_fn, max_len) in self.extra_tokenizers.items():
-            items.add_seq_column(
-                f"title@{name}",
-                [tok_fn(r["title"])[:max_len] for r in ordered],
-                Vocab(name, tokens=None).set_size(0), max_len)
+        for name, spec in self.extra_tokenizers.items():
+            # spec: (fn, max_len) or (fn, max_len, vocab)
+            tok_fn, max_len = spec[0], spec[1]
+            vocab = spec[2] if len(spec) > 2 else \
+                Vocab(name, tokens=None).set_size(0)
+            for attr in ("title", "abstract"):
+                items.add_seq_column(
+                    f"{attr}@{name}",
+                    [tok_fn(r[attr])[:max_len] for r in ordered],
+                    vocab, max_len)
 
         # ---- users + interactions --------------------------------------
         user_vocab = Vocab("user_id", tokens=[])

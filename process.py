@@ -24,6 +24,17 @@ def main(argv):
         kwargs["raw_dir"] = cli["raw_dir"]
     if cli.get("save_dir"):
         kwargs["save_dir"] = cli["save_dir"]
+    # extra LM tokenizers: --tokenizers bertbase+llama1 or glove:/path
+    # (reference attaches BERT/Llama/GloVe tokenizers per text attribute,
+    # mind_processor.py:62-88)
+    if cli.get("tokenizers") and "extra_tokenizers" in \
+            cls.__init__.__code__.co_varnames:
+        from legommenders_tpu.data.tokenizers import resolve
+        extra = {}
+        for spec in str(cli["tokenizers"]).split("+"):
+            vocab_name, fn, vocab = resolve(spec)
+            extra[vocab_name] = (fn, int(cli.get("lm_truncate", 50)), vocab)
+        kwargs["extra_tokenizers"] = extra
     processor = cls(**kwargs)
     stores = processor.load(regenerate=bool(cli.get("regenerate")))
     for part, store in stores.items():

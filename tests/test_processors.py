@@ -186,3 +186,22 @@ column_map:
     tr.train()
     res = tr.test()
     assert np.isfinite(res["GAUC"])
+
+
+def test_mind_extra_tokenizer(fake_mind, tmp_path):
+    """extra_tokenizers adds title@<name>/abstract@<name> columns with the
+    tokenizer's own vocab."""
+    from legommenders_tpu.data.vocab import Vocab
+
+    def fake_tok(text):
+        return [min(ord(c), 99) for c in (text or "")[:10]]
+
+    vocab = Vocab("fakelm").set_size(128)
+    cls = PROCESSORS["mind"]
+    p = cls(raw_dir=fake_mind, save_dir=str(tmp_path / "mind"),
+            extra_tokenizers={"fakelm": (fake_tok, 12, vocab)})
+    stores = p.build()
+    assert "title@fakelm" in stores["items"]
+    assert "abstract@fakelm" in stores["items"]
+    assert stores["items"]["title@fakelm"].shape == (30, 12)
+    assert stores["items"].vocab_name("title@fakelm") == "fakelm"
