@@ -177,9 +177,13 @@ class Legommender(nn.Module):
                     for c, a in hist_contents.items()}
                 user_repr = self.encode_user_flatten(hist_contents, training)
             else:
+                # auto prefers the catalog pass up to 2x the occurrence
+                # count: it is within 2x of optimal cost there, and the
+                # per-occurrence graph has shown pathological compiles on
+                # some TPU toolchains at large occurrence counts (ROADMAP #1)
                 use_catalog = self.full_catalog_encode == "on" or (
                     self.full_catalog_encode == "auto"
-                    and num_items <= B * (K + S))
+                    and num_items <= 2 * B * (K + S))
                 if use_catalog:
                     # encode every item once, then gather occurrences
                     all_reprs = self.encode_item_content(

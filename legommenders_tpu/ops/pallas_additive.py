@@ -7,9 +7,13 @@ model/common/attention.py:10-38):
     a = masked_softmax(s, mask)    # (N, L)
     out = sum_l a[:, l] * x[:, l]  # (N, D)
 
-Fusing keeps the (TILE_N, L, H) intermediate in VMEM instead of HBM — the
-op is bandwidth-bound, so avoiding the (N, L, H) round-trip matters when N
-is the full item catalogue (cache build) or B·(K+1)+B·S (train step).
+Measured head-to-head on TPU v5e at the production user-op shape
+(N=8192, L=56, D=64, H=256, f32): XLA 0.021 ms vs this kernel 0.040 ms —
+XLA's automatic fusion already keeps the chain on-chip at news-rec dims,
+so the kernel stays OPT-IN (LEGO_PALLAS=1). It remains a candidate for
+flatten-mode long sequences (L in the hundreds) where the (N, L, H)
+intermediate no longer fits XLA's fusion budget. VMEM bound: tile_n such
+that tile_n·L·(D+H)·4B < ~16MB (tile 128 at these dims).
 
 Gradients: jax.custom_vjp with a jnp recompute backward (rematerialized —
 the forward saves only inputs).
@@ -52,7 +56,7 @@ def _kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
-def _forward_pallas(x, mask, w1, b1, w2, tile_n: int = 256):
+def _forward_pallas(x, mask, w1, b1, w2, tile_n: int = 128):
     N, L, D = x.shape
     H = w1.shape[1]
     pad = _cdiv(N, tile_n) * tile_n - N
