@@ -156,3 +156,41 @@ def test_sharded_catalog_scoring():
         got = sharded_catalog_scores(u, it, mesh)
     want = u @ it.T
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_ulysses_sequence_parallel_attention():
+    """Ulysses all-to-all attention == single-device attention, fwd+grad."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from legommenders_tpu.ops.core import masked_softmax
+    from legommenders_tpu.ops.sp_attention import ulysses_attention
+
+    rng = np.random.default_rng(11)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    B, L, H, d = 2, 32, 4, 8
+    D = H * d
+    q = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    m = jnp.asarray((rng.random((B, L)) < 0.8).astype(np.float32))
+
+    def ref(q, k, v):
+        qh = q.reshape(B, L, H, d)
+        kh = k.reshape(B, L, H, d)
+        vh = v.reshape(B, L, H, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(d)
+        key_mask = jnp.broadcast_to(m[:, None, None, :], scores.shape)
+        attn = masked_softmax(scores, key_mask)
+        return jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(B, L, D)
+
+    want = ref(q, k, v)
+    with mesh:
+        got = ulysses_attention(q, k, v, m, mesh, num_heads=H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        g1 = jax.grad(lambda q: jnp.sum(
+            ulysses_attention(q, k, v, m, mesh, num_heads=H) ** 2))(q)
+        g2 = jax.grad(lambda q: jnp.sum(ref(q, k, v) ** 2))(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5)
