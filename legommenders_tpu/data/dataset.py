@@ -41,6 +41,7 @@ class LegoData:
         inters: Dict[str, TokenStore],
         column_map: ColumnMap,
         item_inputs: List[Tuple[str, Optional[int]]],
+        user_inputs: Optional[List[Tuple[str, Optional[int]]]] = None,
         name: str = "data",
     ):
         self.name = name
@@ -49,6 +50,9 @@ class LegoData:
         self.inters = inters  # phase -> store, phases: train/dev/test
         self.cm = column_map
         self.item_inputs = item_inputs
+        # user-side input columns (reference lego_config user_inputs) —
+        # consumed by SemanticMix-style user inputers; batchers emit them
+        self.user_inputs = user_inputs or []
         self.cm.bind_vocabs(users, inters.get("train") or next(iter(inters.values())))
 
     # ------------------------------------------------------------------
@@ -120,5 +124,10 @@ class LegoData:
             if max_len and col in items:
                 items.truncate(col, max_len)
 
-        return cls(items, users, inters, cm, specs,
+        u_specs = parse_input_specs(cfg["user"].get("inputs"))
+        for col, max_len in u_specs:
+            if max_len and col in users:
+                users.truncate(col, max_len)
+
+        return cls(items, users, inters, cm, specs, user_inputs=u_specs,
                    name=cfg.get("name", "data"))

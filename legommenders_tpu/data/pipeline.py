@@ -35,6 +35,16 @@ def _pad_rows(arr_2d: np.ndarray) -> np.ndarray:
     return np.where(arr_2d == UNSET, 0, arr_2d).astype(np.int32)
 
 
+def _user_extra_cols(data: LegoData) -> Dict[str, np.ndarray]:
+    """User-side input columns (SemanticMix-style) to inject into batches,
+    keyed by column name (kept distinct from the fixed batch schema)."""
+    cols = {}
+    for col, _ in getattr(data, "user_inputs", None) or []:
+        if col in data.users and col != data.cm.history_col:
+            cols[col] = data.users[col]
+    return cols
+
+
 class TrainBatcher:
     """Negative-sampled training batches (or pointwise ranking batches).
 
@@ -72,6 +82,7 @@ class TrainBatcher:
         self.labels = store[self.cm.label_col].astype(np.float32)
 
         self.history = data.history_matrix()
+        self.user_extra = _user_extra_cols(data)
         negs = data.neg_matrix()
         if negs is None or negs.ndim != 2:
             negs = np.full((data.num_users, 1), UNSET, np.int32)
@@ -123,13 +134,16 @@ class TrainBatcher:
             else:
                 cands = pos[:, None].astype(np.int32)
             hist = self.history[users]
-            yield Batch(
+            batch = Batch(
                 history=_pad_rows(hist),
                 mask=(hist != UNSET).astype(np.int32),
                 candidates=cands,
                 user_id=users.astype(np.int32),
                 label=self.labels[idx],
             )
+            for col, mat in self.user_extra.items():
+                batch[col] = _pad_rows(mat[users])
+            yield batch
 
 
 class EvalBatcher:
@@ -152,6 +166,7 @@ class EvalBatcher:
         self.groups = store[group_col].astype(np.int64) if group_col in store \
             else self.user_ids
         self.history = data.history_matrix()
+        self.user_extra = _user_extra_cols(data)
 
     @property
     def num_samples(self) -> int:
@@ -177,7 +192,7 @@ class EvalBatcher:
             groups[:size] = self.groups[sl]
             valid[:size] = 1
             hist = self.history[users]
-            yield Batch(
+            batch = Batch(
                 history=_pad_rows(hist),
                 mask=((hist != UNSET) & (valid[:, None] > 0)).astype(np.int32),
                 candidates=items[:, None].astype(np.int32),
@@ -186,6 +201,9 @@ class EvalBatcher:
                 group=groups,
                 valid=valid,
             )
+            for col, mat in self.user_extra.items():
+                batch[col] = _pad_rows(mat[users])
+            yield batch
 
 
 class Prefetcher:

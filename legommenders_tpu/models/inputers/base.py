@@ -29,6 +29,13 @@ class BaseInputer(nn.Module):
     output_single_sequence: bool = True
     dtype: jnp.dtype = jnp.float32
 
+    # flatten-mode user inputers normally consume gathered item content
+    # columns over the click history; an inputer with
+    # `consumes_user_cols = True` instead reads user-store columns straight
+    # from the batch (reference semantic_mix_inputer.py:24-27 reads the
+    # user's own semantic column)
+    consumes_user_cols = False
+
     def vocab_names(self):
         return sorted({v for _, v, _ in self.cols})
 

@@ -31,6 +31,7 @@ class SemanticInputer(BaseInputer):
 @INPUTERS.register
 class SemanticMixInputer(BaseInputer):
     output_single_sequence = True
+    consumes_user_cols = True
 
     def get_embeddings(self, eh, contents: Dict[str, jnp.ndarray],
                        training: bool = False):

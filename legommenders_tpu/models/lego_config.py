@@ -150,6 +150,12 @@ class LegoConfig:
             user_input_dim = emb_dim
 
         flatten = bool(user_op_cls.flatten_mode)
+        user_from_user_cols = flatten and bool(
+            getattr(user_op_cls.inputer_class, "consumes_user_cols", False))
+        if user_from_user_cols:
+            # the user op consumes raw embeddings of user-store columns
+            # (SemanticMix), not click vectors from the item operator
+            user_input_dim = emb_dim
         ucfg = combine_config(
             {k: v for k, v in self.user_config.items()
              if k != "inputer_config"},
@@ -163,14 +169,34 @@ class LegoConfig:
         user_op = user_op_cls(dtype=self.dtype, **ucfg)
 
         user_inputer = None
+        user_batch_cols: Tuple[str, ...] = ()
         if flatten:
-            # flatten-mode user inputers consume item content columns
+            # flatten-mode user inputers consume item content columns,
+            # unless the inputer reads user-store columns from the batch
+            # (SemanticMixInputer)
             u_inputer_cfg = dict(self.user_config.get("inputer_config") or {})
             u_inputer_cfg = {
                 k: v for k, v in u_inputer_cfg.items()
                 if k in user_op_cls.inputer_class.__dataclass_fields__}
+            u_cols = item_cols
+            if user_from_user_cols:
+                assert data.user_inputs, (
+                    f"{self.user_operator} needs user-side input columns "
+                    f"(data config user.inputs)")
+                u_cols = []
+                for col, _ in data.user_inputs:
+                    v = data.users.vocab_of(col)
+                    vocab = v.name if v else col
+                    arr = data.users[col]
+                    seq_len = arr.shape[1] if arr.ndim > 1 else 1
+                    u_cols.append((col, vocab, seq_len))
+                    if not hub.has(vocab):
+                        size = len(v) if v else int(arr.max()) + 1
+                        hub.register_vocab(vocab, size)
+                u_cols = tuple(u_cols)
+                user_batch_cols = tuple(c for c, _, _ in u_cols)
             user_inputer = user_op_cls.inputer_class(
-                cols=item_cols, dtype=self.dtype, **u_inputer_cfg)
+                cols=u_cols, dtype=self.dtype, **u_inputer_cfg)
 
         pcfg = combine_config(dict(self.predictor_config),
                               hidden_size=self.hidden_size)
@@ -206,6 +232,7 @@ class LegoConfig:
             use_neg_sampling=self.use_neg_sampling,
             neg_count=self.neg_count,
             flatten_mode=flatten,
+            user_batch_cols=user_batch_cols,
             item_id_vocab=item_id_vocab,
             full_catalog_encode=self.full_catalog_encode,
             dtype=self.dtype,

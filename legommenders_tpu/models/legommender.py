@@ -47,6 +47,9 @@ class Legommender(nn.Module):
     use_neg_sampling: bool = True
     neg_count: int = 4
     flatten_mode: bool = False
+    # flatten-mode user inputers that read user-store columns straight from
+    # the batch (SemanticMix) list those batch keys here
+    user_batch_cols: Tuple[str, ...] = ()
     item_id_vocab: str = "item_id"   # ID-embedding path vocab
     # "auto": encode the WHOLE catalog once per step and gather when that
     # is cheaper than encoding B·(K+S) occurrences — a TPU-first win with
@@ -83,14 +86,16 @@ class Legommender(nn.Module):
             flat_h = hidden.reshape((-1,) + hidden.shape[-2:])
             flat_m = hmask.reshape((-1, hmask.shape[-1]))
             out = self.item_op(flat_h, flat_m, training=training)
-            return out.reshape(*lead, -1)
+            return out.reshape(*lead, *out.shape[1:])
 
         first = next(iter(contents.values()))
         lead = first.shape[:-1]
         flat = {c: a.reshape((-1, a.shape[-1])) for c, a in contents.items()}
         emb, mask = self.item_inputer.get_embeddings(self.eh, flat, training)
         out = self.item_op(emb, mask, training=training)
-        return out.reshape(*lead, -1)
+        # rank-preserving restore: per-item outputs may be vectors (D) or
+        # stacks (Si, D) — semantic-code operators keep their trailing rank
+        return out.reshape(*lead, *out.shape[1:])
 
     def encode_item_lower(self, contents: Dict[str, jnp.ndarray],
                           training: bool = False):
@@ -169,13 +174,18 @@ class Legommender(nn.Module):
                 cand = {c: jnp.take(a, safe_cand, axis=0)
                         for c, a in item_contents.items()}
                 item_repr = self.encode_item_content(cand, training)
-                hist_contents = {c: jnp.take(a, jnp.clip(hist_ids, 0, num_items - 1), axis=0)
-                                 for c, a in item_contents.items()}
-                # mask out padded clicks at the token level
-                hist_contents = {
-                    c: jnp.where(click_mask[..., None] > 0, a, -1)
-                    for c, a in hist_contents.items()}
-                user_repr = self.encode_user_flatten(hist_contents, training)
+                if self.user_batch_cols:
+                    # user side reads its own batch columns (SemanticMix)
+                    u_contents = {c: batch[c] for c in self.user_batch_cols}
+                    user_repr = self.encode_user_flatten(u_contents, training)
+                else:
+                    hist_contents = {c: jnp.take(a, jnp.clip(hist_ids, 0, num_items - 1), axis=0)
+                                     for c, a in item_contents.items()}
+                    # mask out padded clicks at the token level
+                    hist_contents = {
+                        c: jnp.where(click_mask[..., None] > 0, a, -1)
+                        for c, a in hist_contents.items()}
+                    user_repr = self.encode_user_flatten(hist_contents, training)
             else:
                 # auto prefers the catalog pass up to 2x the occurrence
                 # count: it is within 2x of optimal cost there, and the

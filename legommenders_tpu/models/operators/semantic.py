@@ -13,9 +13,35 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from legommenders_tpu.models.common import AdditiveAttention
-from legommenders_tpu.models.inputers.semantic import SemanticInputer
+from legommenders_tpu.models.inputers.semantic import (
+    SemanticInputer, SemanticMixInputer,
+)
 from legommenders_tpu.models.operators.base import BaseOperator
 from legommenders_tpu.utils.registry import OPERATORS
+
+
+@OPERATORS.register
+class SCMixOperator(BaseOperator):
+    """User-side pass-through over the user's own semantic-code column.
+
+    The reference ships SemanticMixInputer (semantic_mix_inputer.py:10-38)
+    and SemanticMixPredictor without an operator binding them into a model;
+    this operator completes the wiring (deliberate divergence): user codes
+    (B, Su) embed via the shared semantic vocab and pass through unchanged,
+    giving the (B, Su, D) stack the SemanticMix predictor expects.
+    """
+
+    inputer_class = SemanticMixInputer
+    flatten_mode = True
+    user_only = True
+    allow_caching = False
+
+    @property
+    def output_dim(self):
+        return self.input_dim
+
+    def __call__(self, embeddings, mask=None, training: bool = False):
+        return embeddings
 
 
 @OPERATORS.register

@@ -27,7 +27,7 @@ def collect_scores(step_fn, params, batcher: EvalBatcher,
     prefetcher = Prefetcher(batcher.epoch())
     for batch in prefetcher:
         jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if k in ("history", "mask", "candidates", "user_id")}
+              if k not in ("label", "group", "valid")}
         if latency_timer is not None:
             latency_timer.start("forward")
             out = jax.block_until_ready(step_fn(params, jb))

@@ -55,6 +55,54 @@ def test_semantic_operator_pooled(synth_sem):
     assert np.isfinite(np.asarray(scores)).all()
 
 
+def test_semantic_mix_full_model(synth_sem):
+    """End-to-end SemanticMix: SCSimple item codes (B,K,Si,D) + SCMix user
+    codes (B,Su,D) + SemanticMix predictor, through a real train step.
+
+    The reference ships the inputer/predictor unwired (no operator uses
+    SemanticMixInputer); we complete the composition."""
+    import jax
+    from legommenders_tpu.data.vocab import Vocab
+    from legommenders_tpu.runtime.steps import make_train_step
+    import optax
+
+    data = synth_sem
+    if not getattr(data, "user_inputs", None):
+        rng_np = np.random.default_rng(1)
+        ucodes = rng_np.integers(0, 32, size=(data.num_users, 3)).astype(np.int32)
+        data.users.add_seq_column(
+            "semantic", ucodes.tolist(),
+            Vocab("semantic", tokens=None).set_size(32), 3)
+        data.user_inputs = [("semantic", 3)]
+
+    cfg = LegoConfig(
+        data=data, item_operator="SCSimple", user_operator="SCMix",
+        predictor="SemanticMix", hidden_size=16,
+        predictor_config={"base_predictor": "Dot"},
+        use_fast_eval=False)
+    model, contents, hub = cfg.build()
+    assert model.flatten_mode and model.user_batch_cols == ("semantic",)
+
+    tb = TrainBatcher(data, batch_size=4, neg_count=4, seed=0)
+    batch_np = next(tb.epoch())
+    assert batch_np["semantic"].shape == (4, 3)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    params = init_params(model, batch, contents.columns)
+    scores = model.apply(params, batch, contents.columns, training=False)
+    assert scores.shape == (4, 5)
+    assert np.isfinite(np.asarray(scores)).all()
+
+    opt = optax.adam(1e-3)
+    step = make_train_step(model, contents.columns, opt, donate=False)
+    state = opt.init(params)
+    p2, state, loss = step(params, state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # the mix linear and the semantic embedding must both receive gradient
+    leaves1 = jax.tree_util.tree_leaves(params)
+    leaves2 = jax.tree_util.tree_leaves(p2)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves1, leaves2))
+
+
 def test_semantic_mix_predictor_unit(rng):
     """Unit-level: cumulative all-pairs scores + linear (B, K)."""
     import jax
