@@ -72,7 +72,8 @@ class CrossNetMix(nn.Module):
                  for e in range(self.num_experts)], axis=-1)  # (..., E)
             gates = nn.softmax(gates, axis=-1)
             v_x = jnp.tanh(jnp.einsum("...d,edr->...er", x, V))
-            v_x = jnp.tanh(jnp.einsum("...er,ers->...es", v_x, C))
+            # C @ v (rows r, cols s): out[r] = sum_s C[r,s] v[s]
+            v_x = jnp.tanh(jnp.einsum("ers,...es->...er", C, v_x))
             uv_x = jnp.einsum("...er,edr->...ed", v_x, U)       # (..., E, D)
             expert_out = x0[..., None, :] * (uv_x + bias)       # hadamard
             moe = jnp.einsum("...ed,...e->...d", expert_out, gates)
