@@ -154,7 +154,8 @@ def get_activation(name: str):
         "relu": nn.relu,
         "tanh": jnp.tanh,
         "sigmoid": nn.sigmoid,
-        "gelu": nn.gelu,
+        # exact erf form — torch nn.GELU() default (FuxiCTR get_activation)
+        "gelu": lambda x: nn.gelu(x, approximate=False),
         "identity": lambda x: x,
         "none": lambda x: x,
     }[name]

@@ -65,8 +65,11 @@ class FastformerLayer(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
         attn = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype)(attn + x)
         # BERT FFN
+        # exact-erf gelu: HF BertIntermediate's "gelu" (parity with the
+        # vendored reference fastformer.py FFN)
         inter = nn.gelu(nn.Dense(D * 4, dtype=self.dtype,
-                                 name="intermediate")(attn))
+                                 name="intermediate")(attn),
+                        approximate=False)
         out = nn.Dense(D, dtype=self.dtype, name="output")(inter)
         out = nn.Dropout(self.dropout)(out, deterministic=not training)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype)(out + attn)

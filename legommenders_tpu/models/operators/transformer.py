@@ -34,7 +34,7 @@ class TransformerLayer(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype)(x + attn)
         ff = nn.Dense(self.intermediate_size, dtype=self.dtype)(x)
-        ff = nn.Dense(D, dtype=self.dtype)(nn.gelu(ff))
+        ff = nn.Dense(D, dtype=self.dtype)(nn.gelu(ff, approximate=False))
         ff = nn.Dropout(self.dropout)(ff, deterministic=not training)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype)(x + ff)
 

@@ -68,6 +68,45 @@ def save_sharded(path: str, params, opt_state=None,
         json_save(meta, path + ".meta.json")
 
 
+def params_are_sharded(tree) -> bool:
+    """True if any leaf is device-sharded (non-replicated) over a >1-device
+    mesh — the signal to prefer orbax sharded checkpoints."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        sh = getattr(leaf, "sharding", None)
+        mesh = getattr(sh, "mesh", None)
+        if mesh is not None and mesh.size > 1 and \
+                not sh.is_fully_replicated:
+            return True
+    return False
+
+
+def save_auto(path: str, params, opt_state=None,
+              meta: Optional[Dict[str, Any]] = None) -> str:
+    """Single-chip runs -> one msgpack file at `path`; mesh-sharded params
+    -> orbax sharded checkpoint at `path`.orbax (each host writes its own
+    shards). Returns the path actually written."""
+    if params_are_sharded(params):
+        opath = path + ".orbax"
+        save_sharded(opath, params, opt_state, meta)
+        return opath
+    save_checkpoint(path, params, opt_state, meta)
+    return path
+
+
+def load_auto(path: str, params_template, opt_state_template=None,
+              model_only: bool = False):
+    """Counterpart of save_auto: restores from `path`.orbax when present
+    (honoring the templates' shardings), else the msgpack file."""
+    opath = path + ".orbax"
+    if os.path.isdir(opath):
+        params, opt_state, meta = load_sharded(
+            opath, params_template,
+            None if model_only else opt_state_template)
+        return params, (None if model_only else opt_state), meta
+    return load_checkpoint(path, params_template, opt_state_template,
+                           model_only=model_only)
+
+
 def load_sharded(path: str, params_template, opt_state_template=None):
     import orbax.checkpoint as ocp
 

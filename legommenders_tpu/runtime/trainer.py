@@ -16,7 +16,7 @@ import numpy as np
 import optax
 
 from legommenders_tpu.data.pipeline import Prefetcher
-from legommenders_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+from legommenders_tpu.runtime.checkpoint import load_auto, save_auto
 from legommenders_tpu.runtime.manager import Manager
 from legommenders_tpu.runtime.metrics import MetricPool
 from legommenders_tpu.runtime.steps import (
@@ -206,16 +206,17 @@ class Trainer:
             if signal == Signal.BEST:
                 best_dev = dev_value
                 if self.ckpt_path:
-                    save_checkpoint(self.ckpt_path, self.params,
-                                    self.opt_state,
-                                    meta={"epoch": epoch,
-                                          "dev": float(dev_value)})
+                    # mesh-sharded params -> orbax shards; else msgpack
+                    save_auto(self.ckpt_path, self.params,
+                              self.opt_state,
+                              meta={"epoch": epoch,
+                                    "dev": float(dev_value)})
             elif signal == Signal.STOP:
                 self.log.info(f"early stop at epoch {epoch}")
                 break
 
         if self.ckpt_path and best_dev is not None:
-            self.params, _, _ = load_checkpoint(
+            self.params, _, _ = load_auto(
                 self.ckpt_path, self.params, model_only=True)
         return {"best_dev": best_dev if best_dev is not None else float("nan")}
 

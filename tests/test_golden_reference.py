@@ -278,6 +278,117 @@ def test_deepfm_golden():
 
 
 # --------------------------------------------------------------------------- #
+# operators                                                                   #
+# --------------------------------------------------------------------------- #
+
+def test_fastformer_golden():
+    """model/common/fastformer.py:6-227 (full FastformerModel) +
+    fastformer_operator.py:24-49 (Linear head) vs FastformerOperator."""
+    import jax.numpy as jnp
+    from legommenders_tpu.models.operators.fastformer import FastformerOperator
+
+    ref_ff = importlib.import_module("model.common.fastformer")
+    torch.manual_seed(10)
+    B, L, D, H, N, OUT = 3, 9, 16, 4, 2, 12
+    cfg = ref_ff.FastformerConfig(hidden_size=D, num_hidden_layers=N,
+                                  num_attention_heads=H,
+                                  hidden_dropout_prob=0.0)
+    ff = ref_ff.FastformerModel(cfg).eval()
+    head = torch.nn.Linear(D, OUT)
+    x = torch.randn(B, L, D)
+    mask = (torch.rand(B, L) > 0.25).float()
+    mask[:, 0] = 1.0
+    with torch.no_grad():
+        want = t2n(head(ff(inputs_embeds=x, attention_mask=mask)))
+
+    def ln(mod):
+        return {"scale": t2n(mod.weight), "bias": t2n(mod.bias)}
+
+    def dense(mod):
+        return {"kernel": lin_kernel(mod), "bias": t2n(mod.bias)}
+
+    p = {
+        "position_embeddings": t2n(ff.position_embeddings.weight),
+        "LayerNorm_0": ln(ff.LayerNorm),
+        "pooler": {
+            "proj_kernel": lin_kernel(ff.poolers[0].att_fc1),
+            "proj_bias": t2n(ff.poolers[0].att_fc1.bias),
+            # att_fc2 bias shifts all scores equally and cancels in the
+            # exp-normalization; only the weight matters
+            "query": lin_kernel(ff.poolers[0].att_fc2),
+        },
+        "proj": dense(head),
+    }
+    for i, enc in enumerate(ff.encoders):
+        p[f"layer_{i}"] = {
+            "FastSelfAttention_0": {
+                "query": dense(enc.attention.self.query),
+                "key": dense(enc.attention.self.key),
+                "query_att": dense(enc.attention.self.query_att),
+                "key_att": dense(enc.attention.self.key_att),
+                "transform": dense(enc.attention.self.transform),
+            },
+            "self_out": dense(enc.attention.output.dense),
+            "LayerNorm_0": ln(enc.attention.output.LayerNorm),
+            "intermediate": dense(enc.intermediate.dense),
+            "output": dense(enc.output.dense),
+            "LayerNorm_1": ln(enc.output.LayerNorm),
+        }
+    mine = FastformerOperator(hidden_size=OUT, input_dim=D,
+                              num_hidden_layers=N, num_attention_heads=H,
+                              hidden_dropout_prob=0.0)
+    got = mine.apply({"params": p}, jnp.asarray(t2n(x)),
+                     jnp.asarray(t2n(mask)), training=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+
+
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_gru_golden(num_layers):
+    """model/operators/gru_operator.py:18-54: packed GRU last hidden +
+    Linear, with ragged lengths."""
+    import jax.numpy as jnp
+    from legommenders_tpu.models.operators.gru import GRUOperator
+
+    torch.manual_seed(11 + num_layers)
+    B, L, D, H = 4, 7, 10, 12
+    gru = torch.nn.GRU(input_size=D, hidden_size=H, num_layers=num_layers,
+                       batch_first=True).eval()
+    linear = torch.nn.Linear(H, D)
+    x = torch.randn(B, L, D)
+    lengths = torch.tensor([L, 3, 5, 1])
+    mask = (torch.arange(L)[None, :] < lengths[:, None]).float()
+    with torch.no_grad():
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            x, lengths.numpy(), batch_first=True, enforce_sorted=False)
+        _, last_hidden = gru(packed)
+        want = t2n(linear(last_hidden[-1]))
+
+    p = {}
+    for l in range(num_layers):
+        w_ih = getattr(gru, f"weight_ih_l{l}")   # (3H, in)
+        w_hh = getattr(gru, f"weight_hh_l{l}")   # (3H, H)
+        b_ih = getattr(gru, f"bias_ih_l{l}")
+        b_hh = getattr(gru, f"bias_hh_l{l}")
+        wr, wz, wn = (t2n(w_ih)[i * H:(i + 1) * H] for i in range(3))
+        ur, uz, un = (t2n(w_hh)[i * H:(i + 1) * H] for i in range(3))
+        br, bz, bn = (t2n(b_ih)[i * H:(i + 1) * H] for i in range(3))
+        hbr, hbz, hbn = (t2n(b_hh)[i * H:(i + 1) * H] for i in range(3))
+        p[f"GRUCell_{l}"] = {
+            "ir": {"kernel": wr.T, "bias": br + hbr},
+            "iz": {"kernel": wz.T, "bias": bz + hbz},
+            "in": {"kernel": wn.T, "bias": bn},
+            "hr": {"kernel": ur.T},
+            "hz": {"kernel": uz.T},
+            "hn": {"kernel": un.T, "bias": hbn},
+        }
+    p["Dense_0"] = {"kernel": lin_kernel(linear), "bias": t2n(linear.bias)}
+    mine = GRUOperator(hidden_size=H, input_dim=D, num_layers=num_layers)
+    got = mine.apply({"params": p}, jnp.asarray(t2n(x)),
+                     jnp.asarray(t2n(mask)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+# --------------------------------------------------------------------------- #
 # metrics                                                                     #
 # --------------------------------------------------------------------------- #
 

@@ -194,3 +194,49 @@ def test_ulysses_sequence_parallel_attention():
         g2 = jax.grad(lambda q: jnp.sum(ref(q, k, v) ** 2))(q)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_auto_checkpoint_routes_sharded(tmp_path):
+    """save_auto/load_auto: sharded params -> orbax dir (restored with the
+    template's shardings); replicated/single-device -> msgpack file."""
+    import os
+    import jax.numpy as jnp
+    import optax
+    import __graft_entry__
+    from legommenders_tpu.parallel.mesh import make_mesh
+    from legommenders_tpu.parallel.train import make_sharded_train_step
+    from legommenders_tpu.runtime.checkpoint import (
+        load_auto, params_are_sharded, save_auto,
+    )
+    from legommenders_tpu.runtime.steps import init_params
+
+    m, jbatch = __graft_entry__._build(batch=16)
+    params = init_params(m.model, jbatch, m.contents.columns, seed=0)
+    assert not params_are_sharded(params)
+
+    # single-device route -> msgpack file
+    p1 = str(tmp_path / "ckpt.msgpack")
+    written = save_auto(p1, params, meta={"epoch": 1})
+    assert written == p1 and os.path.isfile(p1)
+    re1, _, meta1 = load_auto(p1, params, model_only=True)
+    assert meta1["epoch"] == 1
+
+    # mesh-sharded route -> orbax dir
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(n_dp=4, n_mp=2)
+    _, place = make_sharded_train_step(
+        m.model, m.contents.columns, opt, mesh, min_rows_to_shard=2)
+    with mesh:
+        sp, so, _ = place(params, opt.init(params), jbatch)
+    assert params_are_sharded(sp)
+    p2 = str(tmp_path / "ckpt_sharded")
+    written = save_auto(p2, sp, so, meta={"epoch": 2})
+    assert written == p2 + ".orbax" and os.path.isdir(written)
+    re2, ro2, meta2 = load_auto(p2, sp, so)
+    assert meta2["epoch"] == 2
+    for a, b in zip(jax.tree_util.tree_leaves(sp),
+                    jax.tree_util.tree_leaves(re2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored leaves keep the template sharding
+    some = jax.tree_util.tree_leaves(re2)[0]
+    assert getattr(some, "sharding", None) is not None
