@@ -151,6 +151,59 @@ def opt_slice_params(sd: Dict[str, np.ndarray], start: int,
     return out
 
 
+def glm_slice_params(sd: Dict[str, np.ndarray], start: int,
+                     num_layers: int, num_heads: int, num_kv_heads: int,
+                     final_norm: bool) -> dict:
+    """ChatGLM2/3/GLM-4 checkpoint layout -> LlamaDecoderSlice params.
+
+    The checkpoint fuses QKV into `self_attention.query_key_value`
+    ((H + 2·G)·d rows: queries, then G key groups, then G value groups) and
+    the SwiGLU gate/up into `mlp.dense_h_to_4h` (gate = first half);
+    `self_attention.dense` is o_proj, norms are RMSNorm weights."""
+    def g(key):
+        for prefix in ("transformer.encoder.", "encoder.", "transformer.",
+                       ""):
+            if prefix + key in sd:
+                return sd[prefix + key]
+        raise KeyError(key)
+
+    out: dict = {}
+    for i in range(start, start + num_layers):
+        p = f"layers.{i}."
+        qkv_w = g(p + "self_attention.query_key_value.weight")
+        D = qkv_w.shape[1]
+        d = D // num_heads
+        q_rows = num_heads * d
+        kv_rows = num_kv_heads * d
+        layer = {
+            "input_norm": {"weight": _a(g(p + "input_layernorm.weight"))},
+            "q_proj": {"kernel": _t(qkv_w[:q_rows])},
+            "k_proj": {"kernel": _t(qkv_w[q_rows:q_rows + kv_rows])},
+            "v_proj": {"kernel": _t(qkv_w[q_rows + kv_rows:])},
+            "o_proj": {"kernel": _t(g(p + "self_attention.dense.weight"))},
+            "post_norm": {
+                "weight": _a(g(p + "post_attention_layernorm.weight"))},
+        }
+        bias_key = p + "self_attention.query_key_value.bias"
+        try:
+            qkv_b = g(bias_key)
+        except KeyError:
+            qkv_b = None
+        if qkv_b is not None:
+            layer["q_proj"]["bias"] = _a(qkv_b[:q_rows])
+            layer["k_proj"]["bias"] = _a(qkv_b[q_rows:q_rows + kv_rows])
+            layer["v_proj"]["bias"] = _a(qkv_b[q_rows + kv_rows:])
+        h4h = g(p + "mlp.dense_h_to_4h.weight")      # (2*ffn, D)
+        ffn = h4h.shape[0] // 2
+        layer["gate_proj"] = {"kernel": _t(h4h[:ffn])}
+        layer["up_proj"] = {"kernel": _t(h4h[ffn:])}
+        layer["down_proj"] = {"kernel": _t(g(p + "mlp.dense_4h_to_h.weight"))}
+        out[f"layer_{i}"] = layer
+    if final_norm:
+        out["final_norm"] = {"weight": _a(g("final_layernorm.weight"))}
+    return out
+
+
 def merge_lm_params(params: dict, lm_subtree: dict, path=("params", "item_op", "lm")) -> dict:
     """Replace the LM slice subtree inside a full model param tree, keeping
     any params absent from the checkpoint (e.g. lora_A/lora_B)."""

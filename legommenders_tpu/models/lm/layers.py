@@ -248,6 +248,33 @@ def apply_rotary(x, cos, sin):
     return x * cos[None, :, None, :] + rotated * sin[None, :, None, :]
 
 
+def rotary_interleaved_embedding(L, rot_dim, base=10000.0,
+                                 dtype=jnp.float32):
+    """ChatGLM-style rope cache for a PARTIAL rotary of `rot_dim` dims:
+    (L, rot_dim/2) cos/sin over interleaved (even, odd) pairs."""
+    inv_freq = 1.0 / (base ** (jnp.arange(0, rot_dim, 2,
+                                          dtype=jnp.float32) / rot_dim))
+    t = jnp.arange(L, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)                   # (L, rot_dim/2)
+    return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+
+
+def apply_rotary_partial_interleaved(x, cos, sin):
+    """ChatGLM rotary: rotate only the first `rot_dim` head dims, pairing
+    (even, odd) neighbours; the tail passes through unchanged.
+    x (B, L, H, d); cos/sin (L, rot_dim/2)."""
+    rot = cos.shape[-1] * 2
+    xr, x_pass = x[..., :rot], x[..., rot:]
+    x0 = xr[..., 0::2]
+    x1 = xr[..., 1::2]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out0 = x0 * c - x1 * s
+    out1 = x1 * c + x0 * s
+    rotated = jnp.stack([out0, out1], axis=-1).reshape(xr.shape)
+    return jnp.concatenate([rotated, x_pass], axis=-1)
+
+
 class LlamaDecoderLayer(nn.Module):
     num_heads: int
     num_kv_heads: Optional[int] = None
@@ -257,6 +284,13 @@ class LlamaDecoderLayer(nn.Module):
     lora_dropout: float = 0.0
     freeze_base: bool = False
     rope_theta: float = 10000.0
+    # ChatGLM geometry knobs (reference glm_operator.py loads the HF
+    # checkpoint's remote modeling code; these reproduce it natively):
+    # qkv projections with bias, rotary over only the first
+    # `rotary_fraction`·d dims in interleaved (even, odd) pairs
+    qkv_bias: bool = False
+    rotary_fraction: float = 1.0
+    rotary_interleaved: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -269,21 +303,28 @@ class LlamaDecoderLayer(nn.Module):
 
         h = RMSNorm(freeze=self.freeze_base, dtype=self.dtype, name="input_norm")(x)
         q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
-                      use_bias=False, freeze_base=self.freeze_base,
+                      use_bias=self.qkv_bias, freeze_base=self.freeze_base,
                       dtype=self.dtype, name="q_proj")(h, training)
-        k = LoRADense(KV * d, 0, use_bias=False,
+        k = LoRADense(KV * d, 0, use_bias=self.qkv_bias,
                       freeze_base=self.freeze_base, dtype=self.dtype,
                       name="k_proj")(h, training)
         v = LoRADense(KV * d, self.lora_r, self.lora_alpha,
-                      self.lora_dropout, use_bias=False,
+                      self.lora_dropout, use_bias=self.qkv_bias,
                       freeze_base=self.freeze_base, dtype=self.dtype,
                       name="v_proj")(h, training)
         q = q.reshape(B, L, H, d)
         k = k.reshape(B, L, KV, d)
         v = v.reshape(B, L, KV, d)
-        cos, sin = rotary_embedding(L, d, self.rope_theta, self.dtype)
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
+        if self.rotary_interleaved or self.rotary_fraction < 1.0:
+            rot = int(d * self.rotary_fraction) // 2 * 2
+            cos, sin = rotary_interleaved_embedding(
+                L, rot, self.rope_theta, self.dtype)
+            q = apply_rotary_partial_interleaved(q, cos, sin)
+            k = apply_rotary_partial_interleaved(k, cos, sin)
+        else:
+            cos, sin = rotary_embedding(L, d, self.rope_theta, self.dtype)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
         if KV != H:  # grouped-query attention
             rep = H // KV
             k = jnp.repeat(k, rep, axis=2)
@@ -323,6 +364,9 @@ class LlamaDecoderSlice(nn.Module):
     lora_dropout: float = 0.0
     freeze_base: bool = False
     rope_theta: float = 10000.0
+    qkv_bias: bool = False
+    rotary_fraction: float = 1.0
+    rotary_interleaved: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -341,7 +385,11 @@ class LlamaDecoderSlice(nn.Module):
             x = LlamaDecoderLayer(
                 self.num_heads, self.num_kv_heads, self.intermediate_size,
                 self.lora_r, self.lora_alpha, self.lora_dropout,
-                self.freeze_base, self.rope_theta, dtype=self.dtype,
+                self.freeze_base, self.rope_theta,
+                qkv_bias=self.qkv_bias,
+                rotary_fraction=self.rotary_fraction,
+                rotary_interleaved=self.rotary_interleaved,
+                dtype=self.dtype,
                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:
                 pooled.append((x * m).sum(axis=1) / denom)

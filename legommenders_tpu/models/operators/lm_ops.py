@@ -150,12 +150,19 @@ class LlamaOperator(LMOperator):
     rope_theta: float = 10000.0
     lm_dtype: jnp.dtype = jnp.bfloat16
 
+    # GLM geometry knobs (defaults are plain Llama)
+    qkv_bias: bool = False
+    rotary_fraction: float = 1.0
+    rotary_interleaved: bool = False
+
     def make_slice(self, start, num_layers, trainable, name="lm", **extra):
         return LlamaDecoderSlice(
             num_layers=num_layers, num_heads=self.num_attention_heads,
             num_kv_heads=self.num_kv_heads,
             intermediate_size=self.intermediate_size, start=start,
             final_norm=trainable, rope_theta=self.rope_theta,
+            qkv_bias=self.qkv_bias, rotary_fraction=self.rotary_fraction,
+            rotary_interleaved=self.rotary_interleaved,
             dtype=self.lm_dtype, name=name,
             **self._lora_kwargs(trainable), **extra)
 
@@ -206,14 +213,22 @@ class OPTLargeOperator(OPTOperator):
 
 @OPERATORS.register
 class GLMOperator(LlamaOperator):
-    """ChatGLM family (reference glm_operator.py + vendored
-    glm_interface.py): rotary attention decoder; modeled with the Llama
-    slice geometry (RMSNorm + rotary + gated MLP) with GLM defaults."""
+    """ChatGLM family (reference glm_operator.py; the reference's vendored
+    glm_interface.py is interface stubs only — the real modeling code comes
+    from the checkpoint's trust_remote_code). Native ChatGLM2/3/GLM-4
+    geometry: RMSNorm, multi-query attention (2 kv groups), qkv bias,
+    partial interleaved rotary over the first half of each head dim, SwiGLU
+    with fused h_to_4h (split on load, lm/hf_loader.glm_slice_params)."""
 
-    hf_family: str = ""  # GLM checkpoint layout not auto-mapped yet
+    hf_family: str = "glm"
 
     num_hidden_layers: int = 28
     num_attention_heads: int = 32
+    num_kv_heads: Optional[int] = 2        # multi_query_group_num
+    intermediate_size: Optional[int] = 13696
+    qkv_bias: bool = True                  # add_qkv_bias
+    rotary_fraction: float = 0.5
+    rotary_interleaved: bool = True
 
 
 @OPERATORS.register

@@ -159,6 +159,14 @@ class Manager:
                                                 embed_positions=True,
                                                 final_norm=False)
                      if start > 0 else None)
+        elif fam == "glm":
+            kv = op.num_kv_heads or op.num_attention_heads
+            upper = hf_loader.glm_slice_params(
+                sd, start, n - start, op.num_attention_heads, kv,
+                final_norm=True)
+            lower = (hf_loader.glm_slice_params(
+                sd, 0, start, op.num_attention_heads, kv, final_norm=False)
+                if start > 0 else None)
         else:
             log.warning(f"no HF mapping for family {type(op).__name__}")
             return params, False
