@@ -102,6 +102,22 @@ class MINDProcessor(_MINDBase):
         items.add_scalar_column(
             "item_id", np.arange(len(ordered), dtype=np.int32), item_vocab)
 
+        # natural-language prompt columns for LLM input construction
+        # (reference mind_processor.py:116-122: static per-item prefixes
+        # composed by the ConcatInputer, config/data/mind-lm-prompt.yaml)
+        n_items = len(ordered)
+        prompts = {
+            "prompt": "Here is a piece of news article. ",
+            "prompt_title": "Title: ",
+            "prompt_abstract": "Abstract: ",
+            "prompt_category": "Category: ",
+            "prompt_subcategory": "Subcategory: ",
+        }
+        for col, text in prompts.items():
+            toks = self.tokenize_texts([text], word_vocab, 16)[0]
+            items.add_seq_column(col, [list(toks)] * n_items, word_vocab,
+                                 max(len(toks), 1))
+
         for name, spec in self.extra_tokenizers.items():
             # spec: (fn, max_len) or (fn, max_len, vocab)
             tok_fn, max_len = spec[0], spec[1]
@@ -112,6 +128,10 @@ class MINDProcessor(_MINDBase):
                     f"{attr}@{name}",
                     [tok_fn(r[attr])[:max_len] for r in ordered],
                     vocab, max_len)
+            for col, text in prompts.items():
+                toks = list(tok_fn(text))[:16]
+                items.add_seq_column(f"{col}@{name}", [list(toks)] * n_items,
+                                     vocab, max(len(toks), 1))
 
         # ---- users + interactions --------------------------------------
         user_vocab = Vocab("user_id", tokens=[])

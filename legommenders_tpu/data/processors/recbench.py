@@ -75,6 +75,20 @@ class RecBenchProcessor(BaseProcessor):
             "item_id", np.arange(len(item_vocab), dtype=np.int32),
             item_vocab)
 
+        # natural-language prompt columns (reference
+        # recbench_processor.py:132-135: static domain prompt + per-attr
+        # "Title: " prefixes for LLM input construction)
+        if self.PROMPT:
+            n_items = len(item_vocab)
+            prompt_cols = {"prompt": self.PROMPT}
+            for attr, _ in self.attrs:
+                prompt_cols[f"prompt_{attr}"] = \
+                    attr[0].upper() + attr[1:].lower() + ": "
+            for col, text in prompt_cols.items():
+                toks = self.tokenize_texts([text], word_vocab, 16)[0]
+                items.add_seq_column(col, [list(toks)] * n_items, word_vocab,
+                                     max(len(toks), 1))
+
         U = len(user_vocab)
         histories = [[] for _ in range(U)]
         for uid, hist in zip(user_df[self.UID], user_df[self.HIS]):

@@ -205,3 +205,58 @@ def test_mind_extra_tokenizer(fake_mind, tmp_path):
     assert "abstract@fakelm" in stores["items"]
     assert stores["items"]["title@fakelm"].shape == (30, 12)
     assert stores["items"].vocab_name("title@fakelm") == "fakelm"
+
+
+def test_prompt_columns(fake_mind, tmp_path, rng):
+    """MIND/RecBench emit natural-language prompt columns (reference
+    mind_processor.py:116-122, recbench_processor.py:132-135), word-vocab
+    and per-extra-tokenizer variants, usable as ConcatInputer inputs."""
+    from legommenders_tpu.data.vocab import Vocab
+
+    def fake_tok(text):
+        return [min(ord(c), 99) for c in (text or "")[:10]]
+
+    vocab = Vocab("fakelm").set_size(128)
+    p = PROCESSORS["mind"](raw_dir=fake_mind, save_dir=str(tmp_path / "m"),
+                           extra_tokenizers={"fakelm": (fake_tok, 12, vocab)})
+    stores = p.build()
+    items = stores["items"]
+    for col in ("prompt", "prompt_title", "prompt_category"):
+        assert col in items
+        assert f"{col}@fakelm" in items
+        # static prefix: every item row identical
+        arr = items[col]
+        assert (arr == arr[0]).all()
+    assert items.vocab_name("prompt") == "word"
+    assert items.vocab_name("prompt@fakelm") == "fakelm"
+
+
+def test_prompt_columns_train(fake_mind, tmp_path):
+    """Prompt columns compose through ConcatInputer in a real model."""
+    import jax.numpy as jnp
+    from legommenders_tpu.data.dataset import LegoData
+    from legommenders_tpu.data.pipeline import TrainBatcher
+    from legommenders_tpu.models.lego_config import LegoConfig
+    from legommenders_tpu.runtime.steps import init_params
+
+    save_dir = str(tmp_path / "mind")
+    stores = PROCESSORS["mind"](raw_dir=fake_mind, save_dir=save_dir).build()
+    from legommenders_tpu.data.column_map import ColumnMap
+    cm = ColumnMap(item_col="item_id", user_col="user_id",
+                   history_col="history", neg_col="neg",
+                   label_col="click", group_col="imp_id")
+    data = LegoData(stores["items"], stores["users"],
+                    {"train": stores["train"], "dev": stores["valid"],
+                     "test": stores["test"]}, cm,
+                    item_inputs=[("prompt", None), ("prompt_title", None),
+                                 ("title", 10)])
+    cfg = LegoConfig(data=data, item_operator="Ada", user_operator="Ada",
+                     predictor="Dot", hidden_size=16, use_fast_eval=False)
+    model, contents, hub = cfg.build()
+    assert "prompt" in contents.columns and "prompt_title" in contents.columns
+    tb = TrainBatcher(data, batch_size=4, neg_count=2, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in next(tb.epoch()).items()}
+    params = init_params(model, batch, contents.columns)
+    scores = model.apply(params, batch, contents.columns, training=False)
+    assert scores.shape == (4, 3)
+    assert np.isfinite(np.asarray(scores)).all()
