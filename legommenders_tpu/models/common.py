@@ -20,6 +20,10 @@ class AdditiveAttention(nn.Module):
     (ops/pallas_additive.py); jnp path elsewhere."""
 
     hidden_size: int = 256
+    # opt-in sequence parallelism: under an active SP mesh
+    # (parallel.mesh.sequence_parallel), pool via the two-psum decomposition
+    # in ops/sp_additive.py — the sequence axis stays sharded end-to-end
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -38,6 +42,23 @@ class AdditiveAttention(nn.Module):
             m = jnp.ones(x.shape[:2], dtype=jnp.float32)
         else:
             m = mask.reshape((-1, L)).astype(jnp.float32)
+
+        if self.sequence_parallel:
+            from legommenders_tpu.parallel.mesh import get_sp_mesh
+            sp_mesh = get_sp_mesh()
+            if sp_mesh is not None:
+                from legommenders_tpu.ops.sp_additive import (
+                    sp_additive_attention,
+                )
+                xx = x.astype(self.dtype)
+                scores = jnp.einsum(
+                    "bld,dh->blh", xx, w1.astype(self.dtype))
+                scores = jnp.tanh(scores + b1.astype(self.dtype))
+                scores = jnp.einsum(
+                    "blh,h->bl", scores, w2[:, 0].astype(self.dtype))
+                out = sp_additive_attention(xx, scores, m, sp_mesh)
+                return out.reshape(*lead, D)
+
         out = additive_attention_fused(
             x.astype(self.dtype), m,
             w1.astype(self.dtype), b1.astype(self.dtype),
@@ -61,6 +82,10 @@ class MultiHeadSelfAttention(nn.Module):
     layer_norm: bool = False
     relu_out: bool = False
     out_proj: bool = True  # torch MultiheadAttention has an output projection
+    # opt-in Ulysses sequence parallelism (ops/sp_attention.py): under an
+    # active SP mesh, all-to-all re-shards sequence->heads and back; the
+    # q/k/v/out params are IDENTICAL to the local path
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -75,6 +100,30 @@ class MultiHeadSelfAttention(nn.Module):
         q = nn.Dense(D, use_bias=self.out_proj, dtype=self.dtype, name="q")(x)
         k = nn.Dense(D, use_bias=self.out_proj, dtype=self.dtype, name="k")(x)
         v = nn.Dense(D, use_bias=self.out_proj, dtype=self.dtype, name="v")(x)
+
+        if self.sequence_parallel and x.ndim == 3:
+            from legommenders_tpu.parallel.mesh import get_sp_mesh
+            sp_mesh = get_sp_mesh()
+            if sp_mesh is not None:
+                from legommenders_tpu.ops.sp_attention import (
+                    ulysses_attention,
+                )
+                assert self.use_scale and self.dropout == 0.0, \
+                    "ulysses path: scaled attention, no attention dropout"
+                m = mask if mask is not None else \
+                    jnp.ones(x.shape[:2], jnp.int32)
+                out = ulysses_attention(q, k, v, m, sp_mesh, num_heads=H)
+                if self.out_proj:
+                    out = nn.Dense(D, dtype=self.dtype, name="out")(out)
+                if self.use_residual:
+                    res = x if D_in == D else nn.Dense(
+                        D, use_bias=False, dtype=self.dtype, name="res")(x)
+                    out = out + res
+                if self.layer_norm:
+                    out = nn.LayerNorm(dtype=self.dtype)(out)
+                if self.relu_out:
+                    out = nn.relu(out)
+                return out
 
         B, L = x.shape[0], x.shape[-2]
         q = q.reshape(*x.shape[:-1], H, d)

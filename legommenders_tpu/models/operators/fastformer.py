@@ -81,6 +81,10 @@ class FastformerOperator(BaseOperator):
     num_attention_heads: int = 8
     hidden_dropout_prob: float = 0.1
     max_position_embeddings: int = 512
+    # SP: the final additive pooler uses the explicit two-psum decomposition
+    # under an active SP mesh; the fastformer mixing layers stay GSPMD-
+    # sharded (their global softmaxes are handled by the partitioner)
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, embeddings, mask=None, training: bool = False):
@@ -105,6 +109,7 @@ class FastformerOperator(BaseOperator):
                                 dtype=self.dtype, name=f"layer_{i}")(
                 x, neg_bias, training)
         pooled = AdditiveAttention(hidden_size=D, dtype=self.dtype,
+                                   sequence_parallel=self.sequence_parallel,
                                    name="pooler")(x, mask)
         return nn.Dense(self.hidden_size, dtype=self.dtype,
                         name="proj")(pooled)

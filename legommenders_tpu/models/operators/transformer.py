@@ -22,14 +22,17 @@ class TransformerLayer(nn.Module):
     num_heads: int = 8
     intermediate_size: int = 256
     dropout: float = 0.1
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, training: bool = False):
         D = x.shape[-1]
         attn = MultiHeadSelfAttention(
-            num_heads=self.num_heads, dropout=self.dropout,
-            use_scale=True, dtype=self.dtype, name="attn")(
+            num_heads=self.num_heads,
+            dropout=0.0 if self.sequence_parallel else self.dropout,
+            use_scale=True, sequence_parallel=self.sequence_parallel,
+            dtype=self.dtype, name="attn")(
             x, mask, training=training)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype)(x + attn)
@@ -45,6 +48,9 @@ class TransformerOperator(BaseOperator):
     attention_dropout: float = 0.1
     num_hidden_layers: int = 3
     max_position_embeddings: int = 1024
+    # opt-in SP (long flattened histories): Ulysses attention per layer +
+    # two-psum additive pooling, active under parallel.mesh.sequence_parallel
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, embeddings, mask=None, training: bool = False):
@@ -59,10 +65,13 @@ class TransformerOperator(BaseOperator):
         for i in range(self.num_hidden_layers):
             x = TransformerLayer(
                 self.num_attention_heads, self.hidden_size * 4,
-                self.attention_dropout, dtype=self.dtype,
+                self.attention_dropout,
+                sequence_parallel=self.sequence_parallel,
+                dtype=self.dtype,
                 name=f"layer_{i}")(x, mask, training)
         x = nn.Dense(self.hidden_size, dtype=self.dtype)(x)
         return AdditiveAttention(self.hidden_size,
+                                 sequence_parallel=self.sequence_parallel,
                                  dtype=self.dtype)(x, mask)
 
 

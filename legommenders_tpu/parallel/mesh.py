@@ -20,6 +20,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DP_AXIS = "dp"
 MP_AXIS = "mp"
+SP_AXIS = "sp"
+
+# ambient sequence-parallel mesh: operators flagged sequence_parallel=True
+# read it at trace time to shard_map their attention/pooling over SP_AXIS
+# (ops/sp_attention.py, ops/sp_additive.py)
+_ACTIVE_SP_MESH: Optional[Mesh] = None
+
+
+def get_sp_mesh() -> Optional[Mesh]:
+    return _ACTIVE_SP_MESH
+
+
+def set_sp_mesh(mesh: Optional[Mesh]):
+    global _ACTIVE_SP_MESH
+    _ACTIVE_SP_MESH = mesh
+
+
+class sequence_parallel:
+    """Context manager activating an SP mesh for operator tracing:
+        with sequence_parallel(mesh):  # mesh must carry an "sp" axis
+            step(...)
+    """
+
+    def __init__(self, mesh: Mesh):
+        assert SP_AXIS in mesh.axis_names, \
+            f"mesh {mesh.axis_names} lacks a '{SP_AXIS}' axis"
+        self.mesh = mesh
+
+    def __enter__(self):
+        self._prev = get_sp_mesh()
+        set_sp_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_sp_mesh(self._prev)
+        return False
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
@@ -50,12 +86,15 @@ def enable_compilation_cache(path: str = "~/.cache/lego_jax_cache"):
 
 
 def make_mesh(n_dp: Optional[int] = None, n_mp: int = 1,
-              devices=None) -> Mesh:
+              n_sp: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if n_dp is None:
-        n_dp = n // n_mp
-    assert n_dp * n_mp == n, f"{n_dp}x{n_mp} != {n} devices"
+        n_dp = n // (n_mp * n_sp)
+    assert n_dp * n_mp * n_sp == n, f"{n_dp}x{n_mp}x{n_sp} != {n} devices"
+    if n_sp > 1:
+        arr = np.asarray(devices).reshape(n_dp, n_mp, n_sp)
+        return Mesh(arr, (DP_AXIS, MP_AXIS, SP_AXIS))
     arr = np.asarray(devices).reshape(n_dp, n_mp)
     return Mesh(arr, (DP_AXIS, MP_AXIS))
 
