@@ -19,9 +19,9 @@ def main():
     enable_compilation_cache()
 
     from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
-    from legommenders_tpu.data.pipeline import Prefetcher
+    from legommenders_tpu.data.device_pipeline import DeviceTrainPipeline
     from legommenders_tpu.runtime.manager import Manager
-    from legommenders_tpu.runtime.steps import init_params, make_train_step_folded
+    from legommenders_tpu.runtime.steps import init_params
 
     # MIND-small scale: 65k-item catalog, NAML geometry from the reference
     # handbook run (hidden 64; TPU-friendly batch 4096)
@@ -41,31 +41,33 @@ def main():
                 exp_cfg={"policy": {"batch_size": batch_size,
                                     "dtype": "bf16"}}, data=data)
 
-    tb = m.train_batcher(seed=0)
-    batch0 = next(tb.epoch(shuffle=False))
-    jb0 = {k: jnp.asarray(v) for k, v in batch0.items()}
-    params = init_params(m.model, jb0, m.contents.columns, seed=0)
+    # device-resident pipeline: interactions/history/negatives live in HBM,
+    # batch assembly is fused into the train step; the host ships only 32KB
+    # of permuted row indices per step (data/device_pipeline.py)
+    dp = DeviceTrainPipeline(data, batch_size=batch_size, neg_count=4,
+                             seed=0)
+    idx0 = next(dp.epoch_indices(shuffle=False))
+    batch0 = dp.assemble(jnp.asarray(idx0), jax.random.PRNGKey(0))
+    params = init_params(m.model, batch0, m.contents.columns, seed=0)
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
-    step = make_train_step_folded(m.model, m.contents.columns, opt)
+    step = dp.make_fused_train_step(m.model, m.contents.columns, opt)
 
     # warmup / compile
-    params, opt_state, loss = step(params, opt_state, jb0, 0)
+    params, opt_state, loss = step(params, opt_state, jnp.asarray(idx0), 0)
     jax.block_until_ready(loss)
 
-    def device_batches():
+    def index_stream():
         while True:
-            for batch in tb.epoch():
-                yield {k: jnp.asarray(v) for k, v in batch.items()}
+            for idx in dp.epoch_indices():
+                yield idx
 
-    n_steps = 0
+    n_steps = 200
+    stream = index_stream()
     t0 = time.perf_counter()
-    deadline = t0 + 10.0
-    for jb in Prefetcher(device_batches(), depth=8):
-        params, opt_state, loss = step(params, opt_state, jb, n_steps + 1)
-        n_steps += 1
-        if time.perf_counter() > deadline:
-            break
+    for i in range(n_steps):
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(next(stream)), i + 1)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 

@@ -117,17 +117,25 @@ def replicate(tree, mesh: Mesh):
 
 def params_shardings(params, mesh: Mesh, min_rows_to_shard: int = 0):
     """Rule-based shardings: embedding tables (param name `emb_*`, 2-D, at
-    least `min_rows_to_shard` rows) are row-sharded over `mp`; everything
-    else replicated. Rule-based (instead of flax Partitioned boxes) keeps
-    params as plain arrays for optax."""
+    least `min_rows_to_shard` rows) are row-sharded over `mp`; CrossNetMix
+    expert tensors (U_i/V_i/C_i inside a CrossNetMix scope, leading axis =
+    experts) are expert-sharded over `mp` (expert parallelism — GSPMD turns
+    the MoE combine into a psum); everything else replicated. Rule-based
+    (instead of flax Partitioned boxes) keeps params as plain arrays for
+    optax."""
     n_mp = mesh.shape[MP_AXIS]
 
     def spec_for(path, leaf):
         name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        scope = "/".join(str(getattr(p, "key", "")) for p in path)
         if (name.startswith("emb_") and leaf.ndim == 2
                 and leaf.shape[0] >= max(min_rows_to_shard, n_mp)
                 and leaf.shape[0] % n_mp == 0):
             return NamedSharding(mesh, P(MP_AXIS, None))
+        if ("CrossNetMix" in scope and leaf.ndim == 3
+                and name.split("_")[0] in ("U", "V", "C")
+                and leaf.shape[0] % n_mp == 0):
+            return NamedSharding(mesh, P(MP_AXIS, None, None))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

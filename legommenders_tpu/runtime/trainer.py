@@ -150,10 +150,26 @@ class Trainer:
         policy = self.m.policy
         if self.params is None:
             self.init()
-        from legommenders_tpu.runtime.steps import make_train_step_folded
-        step_fn = make_train_step_folded(
-            self.m.model, self.m.contents.columns, self.optimizer,
-            self.m.lego_cfg.use_neg_sampling, seed=self.seed)
+        device_batching = bool(policy.get("device_batching"))
+        if device_batching:
+            # device-resident substrate: per-step host traffic is just the
+            # permuted row indices (data/device_pipeline.py)
+            from legommenders_tpu.data.device_pipeline import (
+                DeviceTrainPipeline,
+            )
+            dpipe = DeviceTrainPipeline(
+                self.m.data, int(policy["batch_size"]),
+                neg_count=self.m.lego_cfg.neg_count,
+                use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
+                seed=self.seed)
+            step_fn = dpipe.make_fused_train_step(
+                self.m.model, self.m.contents.columns, self.optimizer,
+                seed=self.seed)
+        else:
+            from legommenders_tpu.runtime.steps import make_train_step_folded
+            step_fn = make_train_step_folded(
+                self.m.model, self.m.contents.columns, self.optimizer,
+                self.m.lego_cfg.use_neg_sampling, seed=self.seed)
         global_step = 0
         epoch_batch = int(policy.get("epoch_batch") or 0)
         check_interval = int(policy.get("check_interval") or -2)
@@ -162,26 +178,33 @@ class Trainer:
         for epoch in range(int(policy["epoch"])):
             if self.m.cache is not None:
                 self.m.cache.clean()
-            batcher = self.m.train_batcher(self.seed + epoch)
             meaner = Meaner()
             t0 = time.time()
-            num_batches = len(batcher)
+            if device_batching:
+                num_batches = len(dpipe)
+                step_inputs = (jnp.asarray(idx)
+                               for idx in dpipe.epoch_indices())
+            else:
+                batcher = self.m.train_batcher(self.seed + epoch)
+                num_batches = len(batcher)
+
+                def device_batches():
+                    # convert to device arrays inside the prefetch thread
+                    # so the H2D transfer overlaps the train step
+                    for b in batcher.epoch():
+                        yield {k: jnp.asarray(v) for k, v in b.items()}
+
+                step_inputs = Prefetcher(device_batches(), depth=4)
             if epoch_batch:
                 num_batches = min(num_batches, epoch_batch)
             interval = (num_batches // (-check_interval)
                         if check_interval < 0 else check_interval) or 1
             pending = []  # device-side losses; synced once per interval
 
-            def device_batches():
-                # convert to device arrays inside the prefetch thread so
-                # the H2D transfer overlaps the train step
-                for b in batcher.epoch():
-                    yield {k: jnp.asarray(v) for k, v in b.items()}
-
-            prefetcher = Prefetcher(device_batches(), depth=4)
-            for i, jb in enumerate(prefetcher):
+            for i, jb in enumerate(step_inputs):
                 if epoch_batch and i >= epoch_batch:
-                    prefetcher.close()
+                    if isinstance(step_inputs, Prefetcher):
+                        step_inputs.close()
                     break
                 global_step += 1
                 self.params, self.opt_state, loss = step_fn(

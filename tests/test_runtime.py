@@ -104,3 +104,27 @@ def test_orbax_sharded_checkpoint(trained, tmp_path):
                     jax.tree_util.tree_leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert meta["step"] == 7
+
+
+def test_trainer_device_batching(manager_factory=None):
+    """policy device_batching=true trains through the device-resident
+    pipeline and reaches finite metrics."""
+    import numpy as np
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.runtime.manager import Manager
+    from legommenders_tpu.runtime.trainer import Trainer
+
+    data = SyntheticProcessor(num_items=50, num_users=30, title_len=8,
+                              history_len=6,
+                              inters_per_user=12).as_lego_data()
+    m = Manager({}, {"meta": {"item": "CNN", "user": "Ada",
+                              "predictor": "Dot"},
+                     "config": {"hidden_size": 16}},
+                exp_cfg={"policy": {"epoch": 3, "batch_size": 8,
+                                    "lr": 5e-3, "device_batching": True}},
+                data=data)
+    tr = Trainer(m, seed=0)
+    out = tr.train()
+    assert np.isfinite(out["best_dev"])
+    res = tr.test()
+    assert np.isfinite(res["GAUC"])
