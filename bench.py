@@ -51,7 +51,8 @@ def main():
     params = init_params(m.model, batch0, m.contents.columns, seed=0)
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
-    step = dp.make_fused_train_step(m.model, m.contents.columns, opt)
+    step = dp.make_fused_train_step(m.model, m.contents.columns, opt,
+                                    rng_impl="rbg")
 
     # warmup / compile
     params, opt_state, loss = step(params, opt_state, jnp.asarray(idx0), 0)
