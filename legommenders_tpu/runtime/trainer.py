@@ -165,7 +165,7 @@ class Trainer:
             step_fn = dpipe.make_fused_train_step(
                 self.m.model, self.m.contents.columns, self.optimizer,
                 seed=self.seed,
-                rng_impl=str(policy.get("rng_impl") or "threefry"))
+                rng_impl=str(policy.get("rng_impl") or "threefry2x32"))
         else:
             from legommenders_tpu.runtime.steps import make_train_step_folded
             step_fn = make_train_step_folded(
