@@ -120,7 +120,7 @@ class MultiHeadSelfAttention(nn.Module):
                         D, use_bias=False, dtype=self.dtype, name="res")(x)
                     out = out + res
                 if self.layer_norm:
-                    out = nn.LayerNorm(dtype=self.dtype)(out)
+                    out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(out)
                 if self.relu_out:
                     out = nn.relu(out)
                 return out
@@ -151,7 +151,8 @@ class MultiHeadSelfAttention(nn.Module):
                 D, use_bias=False, dtype=self.dtype, name="res")(x)
             out = out + res
         if self.layer_norm:
-            out = nn.LayerNorm(dtype=self.dtype)(out)
+            # torch nn.LayerNorm default eps (FuxiCTR parity)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(out)
         if self.relu_out:
             out = nn.relu(out)
         return out

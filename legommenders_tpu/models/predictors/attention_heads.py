@@ -127,6 +127,7 @@ class MINERPredictor(BasePredictor):
             return jnp.mean(scores, axis=-1)
         assert self.score_type == "weighted", self.score_type
         proj = nn.gelu(nn.Dense(user.shape[-1], use_bias=False,
-                                dtype=self.dtype)(user))    # (B, C, D)
+                                dtype=self.dtype)(user),
+                       approximate=False)                   # (B, C, D)
         w = nn.softmax(jnp.einsum("bkd,bcd->bkc", items, proj), axis=-1)
         return jnp.sum(w * scores, axis=-1)

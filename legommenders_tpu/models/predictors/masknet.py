@@ -29,7 +29,7 @@ class MaskBlock(nn.Module):
         x = nn.Dense(self.output_dim, use_bias=False,
                      dtype=self.dtype)(mask * hidden_states)
         if self.layer_norm:
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = get_activation(self.activation)(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=not training)
@@ -54,8 +54,8 @@ class MaskNetPredictor(BasePredictor):
         x = jnp.concatenate([user, item], axis=-1)
         if self.embed_layer_norm:
             hidden = jnp.concatenate(
-                [nn.LayerNorm(dtype=self.dtype, name="norm_u")(user),
-                 nn.LayerNorm(dtype=self.dtype, name="norm_i")(item)],
+                [nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_u")(user),
+                 nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_i")(item)],
                 axis=-1)
         else:
             hidden = x
