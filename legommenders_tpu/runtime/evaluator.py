@@ -17,9 +17,11 @@ from legommenders_tpu.utils.timer import Timer
 
 def collect_scores(step_fn, params, batcher: EvalBatcher,
                    to_device=None, latency_timer: Optional[Timer] = None,
-                   max_batches: int = 0):
+                   max_batches: int = 0, needed_keys=None):
     """Run `step_fn(params, batch) -> (B, 1) scores` over a batcher; returns
-    (scores, labels, groups) for valid rows."""
+    (scores, labels, groups) for valid rows. `needed_keys` limits what is
+    shipped to the device (the cached fast-eval path only reads
+    user_id/candidates — skipping the history matrix halves eval H2D)."""
     import jax.numpy as jnp
 
     device_scores, valids, labels_all, groups_all = [], [], [], []
@@ -27,7 +29,8 @@ def collect_scores(step_fn, params, batcher: EvalBatcher,
     prefetcher = Prefetcher(batcher.epoch())
     for batch in prefetcher:
         jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if k not in ("label", "group", "valid")}
+              if k not in ("label", "group", "valid")
+              and (needed_keys is None or k in needed_keys)}
         if latency_timer is not None:
             latency_timer.start("forward")
             out = jax.block_until_ready(step_fn(params, jb))
@@ -79,14 +82,16 @@ class Evaluator:
                  max_batches: int = 0) -> Dict[str, float]:
         batcher = EvalBatcher(self.data, phase, self.batch_size)
         use_cache = (self.cache is not None) if use_cache is None else use_cache
+        needed_keys = None
         if use_cache:
             self.cache.cache(params)
             cached = self._get_cached_step()
             item_repr, user_repr = self.cache.item_repr, self.cache.user_repr
             step = lambda p, b: cached(p, item_repr, user_repr, b)
+            needed_keys = ("user_id", "candidates")
         else:
             step = self._get_full_step()
         scores, labels, groups = collect_scores(
             step, params, batcher, latency_timer=latency_timer,
-            max_batches=max_batches)
+            max_batches=max_batches, needed_keys=needed_keys)
         return self.pool(scores, labels, groups)
