@@ -260,3 +260,34 @@ def test_prompt_columns_train(fake_mind, tmp_path):
     scores = model.apply(params, batch, contents.columns, training=False)
     assert scores.shape == (4, 3)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_tokenizer_resolution(tmp_path, fake_mind):
+    """data/tokenizers.resolve: glove file + missing-HF error paths, and
+    process.py end-to-end with a glove tokenizer spec."""
+    import subprocess
+    import sys as _sys
+    from legommenders_tpu.data.tokenizers import resolve
+
+    glove = tmp_path / "glove.6B.50d.txt"
+    words = ["title", "words", "number", "extra", "abstract", "text",
+             "for", "item"]
+    with open(glove, "w") as f:
+        for w in words:
+            f.write(w + " " + " ".join(["0.1"] * 5) + "\n")
+    name, fn, vocab = resolve(f"glove:{glove}")
+    assert name == "glove" and len(vocab) == len(words)
+    assert fn("Title words UNKNOWNTOKEN") == [0, 1]
+
+    with pytest.raises(SystemExit):
+        resolve("bertbase")  # no .model dotfile entry in the test env
+
+    # process.py CLI end-to-end with the glove spec
+    out = subprocess.run(
+        [_sys.executable, "process.py", "--data", "mind",
+         "--raw_dir", fake_mind, "--save_dir", str(tmp_path / "m"),
+         "--tokenizers", f"glove:{glove}", "--regenerate", "1"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORM_NAME": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "title@glove" in out.stdout
