@@ -85,16 +85,26 @@ class EmbeddingTables(nn.Module):
         raise KeyError(f"no embedding table for vocab={vocab_name} col={col_name}")
 
     def embed(self, ids: jnp.ndarray, vocab_name: str,
-              col_name: Optional[str] = None, training: bool = False):
-        """Lookup with UNSET-safe clipping; caller masks pad positions."""
+              col_name: Optional[str] = None, training: bool = False,
+              plan=None):
+        """Lookup with UNSET-safe clipping; caller masks pad positions.
+
+        `plan` (ops/catalog_grad.CatalogGradPlan) reroutes the backward of a
+        static full-catalog lookup through MXU segment-sums instead of a
+        row-granular scatter-add; forward is bit-identical. Only applied
+        when the plan was built for exactly this shape and table."""
         spec = self._spec(vocab_name, col_name)
         table = self.tables[spec.param_name]
         if isinstance(table, nn.meta.AxisMetadata):  # partitioned param box
             table = table.unbox()
         if spec.frozen:
             table = jax.lax.stop_gradient(table)
-        safe = jnp.clip(ids, 0, spec.size - 1)
-        out = jnp.take(table, safe, axis=0).astype(self.dtype)
+        if (plan is not None and not spec.frozen
+                and plan.matches(ids.shape, spec.size)):
+            out = plan.take(table).astype(self.dtype)
+        else:
+            safe = jnp.clip(ids, 0, spec.size - 1)
+            out = jnp.take(table, safe, axis=0).astype(self.dtype)
         if spec.transform:
             out = self.transforms[spec.param_name](out)
             if spec.param_name in self.dropouts:
@@ -105,6 +115,27 @@ class EmbeddingTables(nn.Module):
     def dim_of(self, vocab_name: str, col_name: Optional[str] = None) -> int:
         spec = self._spec(vocab_name, col_name)
         return spec.target_dim if spec.transform else spec.dim
+
+    def __call__(self, ids, vocab_name, col_name=None, training=False):
+        return self.embed(ids, vocab_name, col_name, training)
+
+
+class PlannedTables:
+    """Thin view over EmbeddingTables that injects per-column catalog
+    gradient plans (ops/catalog_grad.py) into `embed` calls — inputers stay
+    plan-agnostic; Legommender substitutes this view on the full-catalog
+    encode path only."""
+
+    def __init__(self, eh: EmbeddingTables, plans: Dict[str, object]):
+        self._eh = eh
+        self._plans = plans or {}
+
+    def embed(self, ids, vocab_name, col_name=None, training=False):
+        return self._eh.embed(ids, vocab_name, col_name, training,
+                              plan=self._plans.get(col_name))
+
+    def dim_of(self, vocab_name, col_name=None):
+        return self._eh.dim_of(vocab_name, col_name)
 
     def __call__(self, ids, vocab_name, col_name=None, training=False):
         return self.embed(ids, vocab_name, col_name, training)

@@ -213,6 +213,16 @@ class LegoConfig:
             raise ValueError(f"{self.predictor} does not support ranking mode")
 
         specs = tuple(sorted(hub._specs.values(), key=lambda s: s.param_name))
+
+        # MXU-routed embedding-grad plans for the static catalog lookup
+        # (only meaningful when the full-catalog encode path can be taken)
+        catalog_plans = None
+        if self.use_item_content and self.full_catalog_encode != "off":
+            from legommenders_tpu.ops.catalog_grad import build_catalog_plans
+            catalog_plans = build_catalog_plans(
+                {c: contents.columns[c] for c, _, _ in item_cols},
+                contents.col_vocabs, specs) or None
+
         model = Legommender(
             embed_specs=specs,
             pretrained=dict(hub.pretrained),
@@ -235,6 +245,7 @@ class LegoConfig:
             user_batch_cols=user_batch_cols,
             item_id_vocab=item_id_vocab,
             full_catalog_encode=self.full_catalog_encode,
+            catalog_plans=catalog_plans,
             dtype=self.dtype,
         )
         return model, contents, hub

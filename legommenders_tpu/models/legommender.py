@@ -57,6 +57,10 @@ class Legommender(nn.Module):
     # cotangent; duplicate occurrences accumulate through the gather
     # transpose exactly as per-occurrence encoding would).
     full_catalog_encode: str = "auto"   # "auto" | "on" | "off"
+    # col -> ops/catalog_grad.CatalogGradPlan: MXU-routed embedding-grad
+    # segment-sum for the static catalog lookup (built by LegoConfig from
+    # the device token matrices; None disables the rewrite)
+    catalog_plans: Optional[dict] = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -68,7 +72,8 @@ class Legommender(nn.Module):
     # item side                                                          #
     # ------------------------------------------------------------------ #
     def encode_item_content(self, contents: Dict[str, jnp.ndarray],
-                            training: bool = False) -> jnp.ndarray:
+                            training: bool = False,
+                            catalog: bool = False) -> jnp.ndarray:
         """contents: {col: (..., L)} token ids -> (..., D) item vectors.
 
         Leading dims are flattened for the operator pass and restored
@@ -91,7 +96,13 @@ class Legommender(nn.Module):
         first = next(iter(contents.values()))
         lead = first.shape[:-1]
         flat = {c: a.reshape((-1, a.shape[-1])) for c, a in contents.items()}
-        emb, mask = self.item_inputer.get_embeddings(self.eh, flat, training)
+        eh = self.eh
+        if catalog and self.catalog_plans:
+            # static catalog tokens: reroute the lookup backward through
+            # MXU segment-sums (forward identical)
+            from legommenders_tpu.models.embedding import PlannedTables
+            eh = PlannedTables(self.eh, self.catalog_plans)
+        emb, mask = self.item_inputer.get_embeddings(eh, flat, training)
         out = self.item_op(emb, mask, training=training)
         # rank-preserving restore: per-item outputs may be vectors (D) or
         # stacks (Si, D) — semantic-code operators keep their trailing rank
@@ -197,7 +208,7 @@ class Legommender(nn.Module):
                 if use_catalog:
                     # encode every item once, then gather occurrences
                     all_reprs = self.encode_item_content(
-                        item_contents, training)             # (N, D)
+                        item_contents, training, catalog=True)  # (N, D)
                     item_repr = jnp.take(all_reprs, safe_cand, axis=0)
                     clicks = jnp.take(
                         all_reprs, jnp.clip(hist_ids, 0, num_items - 1),

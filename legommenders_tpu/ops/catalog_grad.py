@@ -1,0 +1,164 @@
+"""Gather-routed embedding gradient for static catalog token ids.
+
+In full-catalog-encode mode (models/legommender.py:194-204) every train step
+embeds the SAME (N, L) catalog token matrix. Autodiff turns that lookup's
+backward into a scatter-add of N*L gradient rows into the vocab table —
+row-granular scatter-add runs at ~15 GB/s on a v5e (read-modify-write
+serialization) and dominated the fused NAML step (~22 ms of 57 ms,
+ROADMAP.md perf item 2).
+
+Because the ids are static, the backward is a *fixed* segment-sum whose
+layout we precompute on the host once, then evaluate as a hierarchical
+gather-reduce — scatter-free until one final write of the unique rows:
+
+  1. stable-sort the flattened ids on the host; group occurrences by unique
+     id.
+  2. level 1: a static (m1, F) index matrix maps each unique id's
+     occurrences into consecutive F-wide blocks (padded with a sentinel row
+     that reads zeros). `take(grad, idx).sum(axis=1)` collapses every block
+     — one big XLA gather + reshape-sum, no scan, no scatter.
+  3. repeat with blocks-per-id until every id holds one row (log_F levels;
+     level sizes shrink F-fold so total traffic ~= (1 + 1/F + ...) * |grad|).
+  4. one final `.at[unique].set` of the U unique sorted rows into the (V, D)
+     cotangent — ~60x fewer scattered rows than the naive backward at MIND
+     scale.
+
+Gathers stream at HBM bandwidth (same pattern as the forward lookup);
+accumulation stays in the gradient dtype, and per-level sums are exact
+f32 adds, so results match the scatter-add backward to ULP-level.
+
+An earlier variant expressed the segment-sum as one-hot matmuls inside a
+`lax.scan` (MXU-routed); measured on the v5e it LOST to the scatter-add
+(125k vs 160k impressions/s end to end) — ~2k serialized scan iterations
+plus one-hot materialization traffic. The gather-reduce needs no MXU and no
+sequential loop. No reference counterpart — the reference's torch backward
+is a CUDA scatter-add (torch embedding backward).
+"""
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legommenders_tpu.data.token_store import UNSET
+
+
+def _level_indices(counts: np.ndarray, starts: np.ndarray, n_rows: int,
+                   fanout: int, source: np.ndarray = None) -> np.ndarray:
+    """(m2, F) gather matrix collapsing each id's `counts` consecutive rows
+    (at `starts`, optionally indirected through `source`) into
+    ceil(counts/F) blocks; pad slots point at row `n_rows` (a zero row)."""
+    blocks = -(-counts // fanout)                      # ceil
+    m2 = int(blocks.sum())
+    owner = np.repeat(np.arange(counts.size), blocks)  # (m2,) id per block
+    excl = np.concatenate([[0], np.cumsum(blocks)[:-1]])
+    rank = np.arange(m2) - excl[owner]                 # block rank within id
+    slot = rank[:, None] * fanout + np.arange(fanout)[None, :]
+    valid = slot < counts[owner][:, None]
+    pos = starts[owner][:, None] + slot
+    pos = np.where(valid, pos, 0)
+    if source is not None:
+        pos = source[pos]
+    return np.where(valid, pos, n_rows).astype(np.int32)
+
+
+class CatalogGradPlan:
+    """Precomputed gather-reduce layout for one (catalog column, table).
+
+    `take(table)` is a drop-in for `jnp.take(table, safe_ids, axis=0)` with
+    a custom VJP; forward results are bit-identical, backward is the
+    scatter-free segment-sum above (mathematically identical: duplicate
+    occurrences accumulate, untouched rows get zero cotangent).
+    """
+
+    def __init__(self, ids: np.ndarray, num_rows: int, fanout: int = 16,
+                 name: str = ""):
+        ids = np.asarray(ids)
+        self.name = name
+        self.num_rows = int(num_rows)
+        self.fanout = F = max(2, int(fanout))
+        self.ids_shape = tuple(ids.shape)
+
+        safe = np.where(ids == UNSET, 0, ids)
+        safe = np.clip(safe, 0, num_rows - 1).astype(np.int32)
+        flat = safe.reshape(-1)
+        n = flat.size
+
+        order = np.argsort(flat, kind="stable").astype(np.int64)
+        uniq, counts = np.unique(flat, return_counts=True)
+        self.num_unique = U = int(uniq.size)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+        # level 1 gathers straight from the flat cotangent through `order`
+        # (sort-permute and block-padding in one indexing pass)
+        levels: List[np.ndarray] = [
+            _level_indices(counts, starts, n, F, source=order)]
+        counts = -(-counts // F)
+        while counts.max(initial=0) > 1:
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            m = int(counts.sum())
+            levels.append(_level_indices(counts, starts, m, F))
+            counts = -(-counts // F)
+
+        self._levels = [jnp.asarray(l) for l in levels]
+        self._uniq = jnp.asarray(uniq.astype(np.int32))
+        self._safe_dev = jnp.asarray(safe)
+        num_rows_ = self.num_rows
+        U_ = U
+
+        @jax.custom_vjp
+        def take(table):
+            return jnp.take(table, self._safe_dev, axis=0)
+
+        def take_fwd(table):
+            return take(table), None
+
+        def take_bwd(_, g):
+            D = g.shape[-1]
+            cur = g.reshape(-1, D)
+            for idx in self._levels:
+                ext = jnp.concatenate(
+                    [cur, jnp.zeros((1, D), cur.dtype)], axis=0)
+                cur = jnp.take(ext, idx, axis=0).sum(axis=1)
+            grad = jnp.zeros((num_rows_, D), g.dtype)
+            grad = grad.at[self._uniq].set(
+                cur.astype(g.dtype),
+                unique_indices=True, indices_are_sorted=True)
+            return (grad,)
+
+        take.defvjp(take_fwd, take_bwd)
+        self.take = take
+
+    # plans are compared/hashed by identity: they are static per (model,
+    # catalog) and may sit in flax module fields
+    def __eq__(self, other):
+        return self is other
+
+    def __hash__(self):
+        return id(self)
+
+    def matches(self, ids_shape: Tuple[int, ...], num_rows: int) -> bool:
+        return (tuple(ids_shape) == self.ids_shape
+                and int(num_rows) == self.num_rows)
+
+
+def build_catalog_plans(columns, col_vocabs, specs, fanout: int = 16):
+    """Plans for every trainable item-content column.
+
+    columns: {col: (N, L) token ids (np or jnp)}; col_vocabs: {col: vocab
+    name}; specs: iterable of EmbedSpec. Frozen tables are skipped (their
+    lookup sits under stop_gradient). Mirrors EmbeddingTables._spec
+    precedence: feature-keyed table first, then vocab-keyed.
+    """
+    by_key = {(s.kind, s.name): s for s in specs}
+    plans = {}
+    for col, arr in columns.items():
+        spec = by_key.get(("feature", col)) or by_key.get(
+            ("vocab", col_vocabs.get(col)))
+        if spec is None or spec.frozen:
+            continue
+        a = np.asarray(arr)
+        if a.ndim != 2:
+            continue
+        plans[col] = CatalogGradPlan(a, spec.size, fanout=fanout, name=col)
+    return plans

@@ -1,0 +1,106 @@
+"""CatalogGradPlan: scatter-free static-catalog embedding gradient.
+
+The plan's `take` must be forward-identical to `jnp.take` and
+backward-equal to the autodiff scatter-add (f32 gather-reduce: exact for
+representable sums, ULP-close otherwise)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legommenders_tpu.data.token_store import UNSET
+from legommenders_tpu.ops.catalog_grad import CatalogGradPlan
+
+
+def _ref_take(table, ids, num_rows):
+    safe = jnp.clip(jnp.where(ids == UNSET, 0, ids), 0, num_rows - 1)
+    return jnp.take(table, safe, axis=0)
+
+
+@pytest.mark.parametrize("tile", [2, 8])
+@pytest.mark.parametrize("shape,vocab", [((40, 7), 23), ((3, 5), 50),
+                                         ((128, 12), 9)])
+def test_plan_grad_matches_autodiff(shape, vocab, tile):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, vocab, size=shape).astype(np.int32)
+    # UNSET padding + heavy duplication of one id (a "common word")
+    ids[ids % 7 == 3] = UNSET
+    ids[ids % 5 == 4] = 1
+    plan = CatalogGradPlan(ids, vocab, fanout=tile)
+
+    D = 16
+    table = jnp.asarray(rng.normal(size=(vocab, D)).astype(np.float32))
+    # quarter-integer cotangents: level sums are exact in f32
+    cot = jnp.asarray(
+        rng.integers(-8, 8, size=(*shape, D)).astype(np.float32) * 0.25)
+
+    out = plan.take(table)
+    ref = _ref_take(table, jnp.asarray(ids), vocab)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    f = lambda t: jnp.vdot(plan.take(t), cot)
+    g = lambda t: jnp.vdot(_ref_take(t, jnp.asarray(ids), vocab), cot)
+    gp = jax.grad(f)(table)
+    gr = jax.grad(g)(table)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=0, atol=1e-6)
+
+
+def test_plan_grad_random_cotangent_close():
+    """Random cotangents: reassociated f32 sums stay ULP-close to the
+    scatter-add order."""
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 64, size=(200, 9)).astype(np.int32)
+    plan = CatalogGradPlan(ids, 64, fanout=4)
+    table = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(200, 9, 8)).astype(np.float32))
+    gp = jax.grad(lambda t: jnp.vdot(plan.take(t), cot))(table)
+    gr = jax.grad(lambda t: jnp.vdot(_ref_take(t, jnp.asarray(ids), 64),
+                                     cot))(table)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_step_grads_match_with_plans():
+    """Full-model check: train-step loss/param updates with catalog plans
+    match the plan-free model (reassociation tolerance)."""
+    import optax
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.runtime.manager import Manager
+    from legommenders_tpu.runtime.steps import init_params, make_loss_fn
+
+    data = SyntheticProcessor(num_items=60, num_users=30, title_len=8,
+                              history_len=6, inters_per_user=10
+                              ).as_lego_data()
+
+    def build(catalog_mode):
+        m = Manager({}, {"meta": {"item": "CNN", "user": "Ada",
+                                  "predictor": "Dot"},
+                         "config": {"hidden_size": 16, "neg_count": 2,
+                                    "full_catalog_encode": catalog_mode}},
+                    exp_cfg={"policy": {"batch_size": 8}}, data=data)
+        return m
+
+    m_on = build("on")
+    assert m_on.model.catalog_plans, "plans should be built for 'on'"
+    m_off = build("off")
+    assert m_off.model.catalog_plans is None
+
+    from legommenders_tpu.data.pipeline import TrainBatcher
+    batch = next(TrainBatcher(data, 8, neg_count=2, seed=0).epoch(False))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = init_params(m_on.model, jb, m_on.contents.columns, seed=0)
+
+    rng = jax.random.PRNGKey(0)
+    g_on = jax.grad(make_loss_fn(m_on.model, m_on.contents.columns, True))(
+        params, jb, rng)
+    # same params work for the off model (identical structure)
+    g_off = jax.grad(make_loss_fn(m_off.model, m_off.contents.columns,
+                                  True))(params, jb, rng)
+    flat_on = jax.tree_util.tree_leaves_with_path(g_on)
+    flat_off = dict(jax.tree_util.tree_leaves_with_path(g_off))
+    for path, a in flat_on:
+        b = flat_off[path]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-2, atol=3e-3,
+            err_msg=jax.tree_util.keystr(path))
