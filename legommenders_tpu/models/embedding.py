@@ -90,9 +90,11 @@ class EmbeddingTables(nn.Module):
         """Lookup with UNSET-safe clipping; caller masks pad positions.
 
         `plan` (ops/catalog_grad.CatalogGradPlan) reroutes the backward of a
-        static full-catalog lookup through MXU segment-sums instead of a
-        row-granular scatter-add; forward is bit-identical. Only applied
-        when the plan was built for exactly this shape and table."""
+        static full-catalog lookup through scatter-free gather-reduce
+        segment-sums instead of a row-granular scatter-add; forward is
+        bit-identical. Only applied when the plan was built for exactly
+        this shape and table (content verified upstream by
+        CatalogGradPlan.matches_source)."""
         spec = self._spec(vocab_name, col_name)
         table = self.tables[spec.param_name]
         if isinstance(table, nn.meta.AxisMetadata):  # partitioned param box

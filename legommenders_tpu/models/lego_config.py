@@ -214,8 +214,9 @@ class LegoConfig:
 
         specs = tuple(sorted(hub._specs.values(), key=lambda s: s.param_name))
 
-        # MXU-routed embedding-grad plans for the static catalog lookup
-        # (only meaningful when the full-catalog encode path can be taken)
+        # scatter-free gather-reduce embedding-grad plans for the static
+        # catalog lookup (only meaningful when the full-catalog encode
+        # path can be taken)
         catalog_plans = None
         if self.use_item_content and self.full_catalog_encode != "off":
             from legommenders_tpu.ops.catalog_grad import build_catalog_plans

@@ -57,9 +57,9 @@ class Legommender(nn.Module):
     # cotangent; duplicate occurrences accumulate through the gather
     # transpose exactly as per-occurrence encoding would).
     full_catalog_encode: str = "auto"   # "auto" | "on" | "off"
-    # col -> ops/catalog_grad.CatalogGradPlan: MXU-routed embedding-grad
-    # segment-sum for the static catalog lookup (built by LegoConfig from
-    # the device token matrices; None disables the rewrite)
+    # col -> ops/catalog_grad.CatalogGradPlan: scatter-free gather-reduce
+    # embedding-grad segment-sum for the static catalog lookup (built by
+    # LegoConfig from the device token matrices; None disables the rewrite)
     catalog_plans: Optional[dict] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -99,9 +99,15 @@ class Legommender(nn.Module):
         eh = self.eh
         if catalog and self.catalog_plans:
             # static catalog tokens: reroute the lookup backward through
-            # MXU segment-sums (forward identical)
+            # gather-reduce segment-sums (forward identical). A plan only
+            # applies if the runtime column is verifiably the matrix it was
+            # baked from (same object or same content hash) — a post-build
+            # column swap falls back to the plain lookup
             from legommenders_tpu.models.embedding import PlannedTables
-            eh = PlannedTables(self.eh, self.catalog_plans)
+            live = {c: p for c, p in self.catalog_plans.items()
+                    if c in contents and p.matches_source(contents[c])}
+            if live:
+                eh = PlannedTables(self.eh, live)
         emb, mask = self.item_inputer.get_embeddings(eh, flat, training)
         out = self.item_op(emb, mask, training=training)
         # rank-preserving restore: per-item outputs may be vectors (D) or

@@ -34,6 +34,7 @@ plus one-hot materialization traffic. The gather-reduce needs no MXU and no
 sequential loop. No reference counterpart — the reference's torch backward
 is a CUDA scatter-add (torch embedding backward).
 """
+import hashlib
 from typing import List, Tuple
 
 import jax
@@ -41,6 +42,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from legommenders_tpu.data.token_store import UNSET
+
+
+def _ids_md5(ids) -> bytes:
+    return hashlib.md5(
+        np.ascontiguousarray(np.asarray(ids), dtype=np.int64)).digest()
 
 
 def _level_indices(counts: np.ndarray, starts: np.ndarray, n_rows: int,
@@ -73,7 +79,9 @@ class CatalogGradPlan:
 
     def __init__(self, ids: np.ndarray, num_rows: int, fanout: int = 16,
                  name: str = ""):
+        self.source = ids                  # original array object
         ids = np.asarray(ids)
+        self.source_md5 = _ids_md5(ids)    # content fingerprint
         self.name = name
         self.num_rows = int(num_rows)
         self.fanout = F = max(2, int(fanout))
@@ -140,6 +148,23 @@ class CatalogGradPlan:
     def matches(self, ids_shape: Tuple[int, ...], num_rows: int) -> bool:
         return (tuple(ids_shape) == self.ids_shape
                 and int(num_rows) == self.num_rows)
+
+    def matches_source(self, ids) -> bool:
+        """True iff `ids` is verifiably the catalog matrix this plan was
+        built from — same object, or same shape AND same content hash.
+
+        Guards against the column dict being swapped after model build
+        (e.g. Manager.prepare_lm_cache mutates contents.columns): a
+        same-shape replacement must NOT silently embed the stale baked
+        ids. Traced values (jit arguments) can't be verified — fall back.
+        """
+        if ids is self.source:
+            return True
+        if isinstance(ids, jax.core.Tracer):
+            return False
+        if tuple(ids.shape) != self.ids_shape:
+            return False
+        return _ids_md5(ids) == self.source_md5
 
 
 def build_catalog_plans(columns, col_vocabs, specs, fanout: int = 16):

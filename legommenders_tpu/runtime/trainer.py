@@ -36,26 +36,43 @@ def linear_warmup(lr: float, n_warmup: int) -> optax.Schedule:
 class Trainer:
     def __init__(self, manager: Manager, seed: int = 2023,
                  ckpt_path: Optional[str] = None, log=None,
-                 session: Optional[str] = None, command: str = ""):
+                 session: Optional[str] = None, command: str = "",
+                 signature: Optional[str] = None):
         self.m = manager
         self.seed = seed
         self.ckpt_path = ckpt_path
         self.log = log or get_logger("trainer")
-        # live experiment sync (reference trainer.py:86-121, 262-274)
+        # live experiment sync (reference trainer.py:88-121, 260-274):
+        # --session connects to a lego-server record, sanity-checks
+        # signature/seed/duplicate-run, then registers this pid
         self.server = None
-        self.experiment_id = None
+        self.session = session
         if session:
-            from legommenders_tpu.utils.server import Server
-            self.server = Server(base_url=session if "://" in session
-                                 else None)
+            from legommenders_tpu.utils.server import (
+                ExperimentBody, Server,
+            )
+            self.server = Server.auto_auth()
             if self.server.active:
-                ev = self.server.get_or_create_evaluation(
-                    command, {"seed": seed}) or {}
-                exp = self.server.create_experiment(
-                    ev.get("id", command), seed) or {}
-                self.experiment_id = exp.get("id")
-                if self.experiment_id:
-                    self.server.register_pid(self.experiment_id)
+                resp = self.server.get_experiment_info(session)
+                if resp.ok:
+                    exp = ExperimentBody(resp.body)
+                    if signature and exp.signature != signature:
+                        raise SystemExit(
+                            f"signature mismatch: local {signature} != "
+                            f"server {exp.signature}")
+                    if exp.seed is not None and int(exp.seed) != seed:
+                        raise SystemExit(
+                            f"seed mismatch: local {seed} != "
+                            f"server {exp.seed}")
+                    if exp.is_completed:
+                        raise SystemExit(
+                            f"experiment {session} is already completed")
+                    self.server.register_experiment(session)
+                else:
+                    self.log.warning(
+                        f"lego-server lookup for session {session} failed "
+                        f"({resp.msg}); continuing offline")
+                    self.server = None
 
         policy = self.m.policy
         lr = float(policy["lr"])
@@ -176,6 +193,7 @@ class Trainer:
         check_interval = int(policy.get("check_interval") or -2)
 
         best_dev = None
+        best_params = None  # in-memory best when no checkpoint dir
         for epoch in range(int(policy["epoch"])):
             if self.m.cache is not None:
                 self.m.cache.clean()
@@ -235,13 +253,25 @@ class Trainer:
                               self.opt_state,
                               meta={"epoch": epoch,
                                     "dev": float(dev_value)})
+                else:
+                    # no checkpoint dir: hold the best params in memory so
+                    # the final test still sees best-dev params, matching
+                    # the reference's unconditional reload-best
+                    # (trainer.py:292). Must be a device COPY: the train
+                    # step donates its params buffers, so a bare reference
+                    # would be invalidated by the next step
+                    best_params = jax.tree_util.tree_map(
+                        jnp.copy, self.params)
             elif signal == Signal.STOP:
                 self.log.info(f"early stop at epoch {epoch}")
                 break
 
-        if self.ckpt_path and best_dev is not None:
-            self.params, _, _ = load_auto(
-                self.ckpt_path, self.params, model_only=True)
+        if best_dev is not None:
+            if self.ckpt_path:
+                self.params, _, _ = load_auto(
+                    self.ckpt_path, self.params, model_only=True)
+            elif best_params is not None:
+                self.params = best_params
         return {"best_dev": best_dev if best_dev is not None else float("nan")}
 
     # ------------------------------------------------------------------ #
@@ -249,7 +279,8 @@ class Trainer:
         res = self.evaluator.evaluate(self.params, "test")
         self.log.info("test: " + ", ".join(
             f"{k} {v:.4f}" for k, v in res.items()))
-        if self.server is not None and self.experiment_id:
+        if self.server is not None and self.session:
+            import json as _json
             log_text = ""
             for h in self.log.handlers:
                 path = getattr(h, "baseFilename", None)
@@ -259,7 +290,9 @@ class Trainer:
                             log_text = f.read()
                     except OSError:
                         pass
-            self.server.complete_experiment(self.experiment_id, log_text, res)
+            # performance rides as a JSON string (reference trainer.py:269-273)
+            self.server.complete_experiment(
+                self.session, log_text, _json.dumps(res))
         return res
 
     def run(self) -> Dict[str, float]:

@@ -104,3 +104,30 @@ def test_fused_step_grads_match_with_plans():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-2, atol=3e-3,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_matches_source_fingerprint():
+    """A plan only applies to the exact catalog matrix it was baked from:
+    same object or same content; a same-shape content swap must miss
+    (ADVICE r1: stale-ids hazard when contents.columns is mutated)."""
+    from legommenders_tpu.ops.catalog_grad import CatalogGradPlan
+
+    ids = np.arange(24, dtype=np.int32).reshape(6, 4) % 10
+    plan = CatalogGradPlan(ids, num_rows=10)
+    assert plan.matches_source(ids)                       # same object
+    assert plan.matches_source(ids.copy())                # same content
+    assert plan.matches_source(ids.astype(np.int64))      # dtype-insensitive
+    swapped = ids.copy()
+    swapped[0, 0] = (swapped[0, 0] + 1) % 10
+    assert not plan.matches_source(swapped)               # content swap
+    assert not plan.matches_source(ids[:4])               # shape change
+
+    # traced values can't be verified -> must fall back, not crash
+    traced_result = []
+
+    def probe(a):
+        traced_result.append(plan.matches_source(a))
+        return a
+
+    jax.jit(probe)(jnp.asarray(ids))
+    assert traced_result == [False]

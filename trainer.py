@@ -15,7 +15,8 @@ class TrainerCLI(BaseLego):
         trainer = Trainer(self.manager, seed=self.seed,
                           ckpt_path=self.ph.ckpt_path, log=self.log,
                           session=self.cli.get("session"),
-                          command=" ".join(_sys.argv[1:]))
+                          command=" ".join(_sys.argv[1:]),
+                          signature=self.ph.signature)
         load_sign = (self.cfg.exp.load.sign
                      if self.cfg.exp and self.cfg.exp.load else None)
         if load_sign:
