@@ -108,7 +108,15 @@ class _Unresolved(Exception):
 
 def _resolve_value(value: Any, context: Dict[str, Any], tree: Any):
     if isinstance(value, dict):
-        return {k: _resolve_value(v, context, tree) for k, v in value.items()}
+        # keys interpolate too (`- title@${lm}: 30` in item.inputs arrives
+        # as {"title@${lm}": 30}); a resolved key must stay a string
+        out = {}
+        for k, v in value.items():
+            rk = _resolve_value(k, context, tree) if isinstance(k, str) else k
+            if not isinstance(rk, str) and rk is not None:
+                rk = str(rk)
+            out[rk if rk is not None else k] = _resolve_value(v, context, tree)
+        return out
     if isinstance(value, list):
         return [_resolve_value(v, context, tree) for v in value]
     if not isinstance(value, str):
@@ -166,6 +174,15 @@ def load_config(path: str, context: Optional[Dict[str, Any]] = None) -> dict:
     return resolve(load_yaml_with_imports(path), context)
 
 
+def load_axis_config(path: str, axis: str,
+                     context: Optional[Dict[str, Any]] = None) -> dict:
+    """Load ONE axis file standalone, resolving self-references like
+    `${data.base_dir}` by wrapping it under its axis key the way
+    parse_four_way would."""
+    tree = resolve({axis: load_yaml_with_imports(path)}, context)
+    return tree[axis]
+
+
 def _find_config(axis: str, name_or_path: str, config_root: str = "config") -> Optional[str]:
     """Map a CLI value like `mind` to `config/data/mind.yaml`, or accept a
     direct path."""
@@ -176,7 +193,12 @@ def _find_config(axis: str, name_or_path: str, config_root: str = "config") -> O
     cand = os.path.join(config_root, axis, f"{name_or_path}.yaml")
     if os.path.isfile(cand):
         return cand
-    raise FileNotFoundError(f"no {axis} config named {name_or_path!r} (tried {cand})")
+    # cross-axis trees like `--data recbench/mind` -> config/recbench/mind.yaml
+    alt = os.path.join(config_root, f"{name_or_path}.yaml")
+    if os.path.isfile(alt):
+        return alt
+    raise FileNotFoundError(
+        f"no {axis} config named {name_or_path!r} (tried {cand}, {alt})")
 
 
 def parse_four_way(cli: Dict[str, Any], config_root: str = "config") -> Obj:

@@ -15,6 +15,28 @@ from legommenders_tpu.data.token_store import StoreHub, TokenStore, UNSET
 from legommenders_tpu.data.vocab import VocabHub
 
 
+def apply_replication(specs: List[Tuple[str, Optional[int]]],
+                      store: TokenStore) -> List[Tuple[str, Optional[int]]]:
+    """Resolve `src -> dst` (deep) / `src --> dst` (lazy) replication specs
+    against a store (reference loader/manager.py:176-183).
+
+    Deliberate divergence: the reference tests `"->" in col` FIRST, so its
+    lazy `-->` branch is unreachable (`"a --> b".split("->")` leaves a
+    stray dash); here `-->` is matched first and both forms work."""
+    out = []
+    for col, max_len in specs:
+        if "-->" in col:
+            src, dst = map(str.strip, col.split("-->"))
+            store.replicate(src, dst, lazy=True)
+            col = dst
+        elif "->" in col:
+            src, dst = map(str.strip, col.split("->"))
+            store.replicate(src, dst, lazy=False)
+            col = dst
+        out.append((col, max_len))
+    return out
+
+
 def parse_input_specs(inputs) -> List[Tuple[str, Optional[int]]]:
     """Parse data-config item input specs.
 
@@ -120,11 +142,13 @@ class LegoData:
                 inters[phase] = store
 
         specs = parse_input_specs(cfg["item"].get("inputs"))
+        specs = apply_replication(specs, items)
         for col, max_len in specs:
             if max_len and col in items:
                 items.truncate(col, max_len)
 
         u_specs = parse_input_specs(cfg["user"].get("inputs"))
+        u_specs = apply_replication(u_specs, users)
         for col, max_len in u_specs:
             if max_len and col in users:
                 users.truncate(col, max_len)

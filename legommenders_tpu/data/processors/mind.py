@@ -128,6 +128,14 @@ class MINDProcessor(_MINDBase):
                     f"{attr}@{name}",
                     [tok_fn(r[attr])[:max_len] for r in ordered],
                     vocab, max_len)
+            # category labels are short natural-language strings; LM
+            # variants are needed by config/data/mind-lm*.yaml
+            # (`category@${lm}`)
+            for attr, key in (("category", "cat"), ("subcategory", "subcat")):
+                items.add_seq_column(
+                    f"{attr}@{name}",
+                    [tok_fn(r[key])[:8] for r in ordered],
+                    vocab, 8)
             for col, text in prompts.items():
                 toks = list(tok_fn(text))[:16]
                 items.add_seq_column(f"{col}@{name}", [list(toks)] * n_items,

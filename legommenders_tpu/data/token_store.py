@@ -106,6 +106,22 @@ class TokenStore:
             return np.ones(arr.shape[0], dtype=np.int32)
         return (arr != UNSET).sum(axis=1).astype(np.int32)
 
+    def replicate(self, src: str, dst: str, lazy: bool = False):
+        """Alias a column under a new name (UniTok `replicate`, used by the
+        data-config `->`/`-->` syntax, reference loader/manager.py:176-183).
+
+        `lazy` shares the underlying array (safe: every mutation here
+        replaces column arrays, never writes in place); deep copies it.
+        The vocab binding is shared either way, so a feature-keyed
+        pretrained table can still override it per column."""
+        arr = self.columns[src]
+        self.columns[dst] = arr if lazy else arr.copy()
+        if src in self.col_vocab:
+            self.col_vocab[dst] = self.col_vocab[src]
+        self.lineage = self.lineage + (
+            f"replicate:{src}->{dst}:{'lazy' if lazy else 'deep'}",)
+        return self
+
     def truncate(self, col: str, max_len: int):
         """UniTok `retruncate` equivalent: clip a sequence column.
         Replaces the column array (no in-place mutation of shared arrays)
