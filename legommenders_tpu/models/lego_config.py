@@ -245,6 +245,7 @@ class LegoConfig:
             flatten_mode=flatten,
             user_batch_cols=user_batch_cols,
             item_id_vocab=item_id_vocab,
+            item_page_size=int(self.item_page_size or 0),
             full_catalog_encode=self.full_catalog_encode,
             catalog_plans=catalog_plans,
             dtype=self.dtype,

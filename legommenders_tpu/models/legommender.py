@@ -51,6 +51,9 @@ class Legommender(nn.Module):
     # the batch (SemanticMix) list those batch keys here
     user_batch_cols: Tuple[str, ...] = ()
     item_id_vocab: str = "item_id"   # ID-embedding path vocab
+    # bound on flattened occurrences per item-op pass; 0 = no paging
+    # (reference lego_config.py:114-115, legommender.py:174-190)
+    item_page_size: int = 0
     # "auto": encode the WHOLE catalog once per step and gather when that
     # is cheaper than encoding B·(K+S) occurrences — a TPU-first win with
     # no reference counterpart (identical gradients: unused rows get zero
@@ -71,31 +74,16 @@ class Legommender(nn.Module):
     # ------------------------------------------------------------------ #
     # item side                                                          #
     # ------------------------------------------------------------------ #
-    def encode_item_content(self, contents: Dict[str, jnp.ndarray],
-                            training: bool = False,
-                            catalog: bool = False) -> jnp.ndarray:
-        """contents: {col: (..., L)} token ids -> (..., D) item vectors.
-
-        Leading dims are flattened for the operator pass and restored
-        (the reference's Shaper 3D<->2D, utils/shaper.py). In lm-cache
-        mode contents carry precomputed hidden states instead of token ids
-        (reference legommender.py:160-171)."""
+    def _encode_flat(self, flat: Dict[str, jnp.ndarray],
+                     training: bool = False,
+                     catalog: bool = False) -> jnp.ndarray:
+        """One inputer+item_op pass over already-flattened (M, ...) inputs."""
         from legommenders_tpu.models.operators.lm_ops import (
             LM_HIDDEN_KEY, LM_MASK_KEY,
         )
-
-        if LM_HIDDEN_KEY in contents:
-            hidden = contents[LM_HIDDEN_KEY]          # (..., L, D)
-            hmask = contents[LM_MASK_KEY]             # (..., L)
-            lead = hidden.shape[:-2]
-            flat_h = hidden.reshape((-1,) + hidden.shape[-2:])
-            flat_m = hmask.reshape((-1, hmask.shape[-1]))
-            out = self.item_op(flat_h, flat_m, training=training)
-            return out.reshape(*lead, *out.shape[1:])
-
-        first = next(iter(contents.values()))
-        lead = first.shape[:-1]
-        flat = {c: a.reshape((-1, a.shape[-1])) for c, a in contents.items()}
+        if LM_HIDDEN_KEY in flat:
+            return self.item_op(flat[LM_HIDDEN_KEY], flat[LM_MASK_KEY],
+                                training=training)
         eh = self.eh
         if catalog and self.catalog_plans:
             # static catalog tokens: reroute the lookup backward through
@@ -105,14 +93,82 @@ class Legommender(nn.Module):
             # column swap falls back to the plain lookup
             from legommenders_tpu.models.embedding import PlannedTables
             live = {c: p for c, p in self.catalog_plans.items()
-                    if c in contents and p.matches_source(contents[c])}
+                    if c in flat and p.matches_source(flat[c])}
             if live:
                 eh = PlannedTables(self.eh, live)
         emb, mask = self.item_inputer.get_embeddings(eh, flat, training)
-        out = self.item_op(emb, mask, training=training)
+        return self.item_op(emb, mask, training=training)
+
+    def encode_item_content(self, contents: Dict[str, jnp.ndarray],
+                            training: bool = False,
+                            catalog: bool = False) -> jnp.ndarray:
+        """contents: {col: (..., L)} token ids -> (..., D) item vectors.
+
+        Leading dims are flattened for the operator pass and restored
+        (the reference's Shaper 3D<->2D, utils/shaper.py). In lm-cache
+        mode contents carry precomputed hidden states instead of token ids
+        (reference legommender.py:160-171).
+
+        `item_page_size` bounds encoder activation memory by paging the
+        flattened occurrences through a lax.scan with per-page remat
+        (reference legommender.py:174-190, lego_config.py:114-115 — but
+        the torch loop only bounds FORWARD memory; the scan+remat here
+        bounds the backward too, so full-LM training can't OOM on the
+        item pass)."""
+        from legommenders_tpu.models.operators.lm_ops import LM_HIDDEN_KEY
+
+        lm_mode = LM_HIDDEN_KEY in contents
+        first = (contents[LM_HIDDEN_KEY] if lm_mode
+                 else next(iter(contents.values())))
+        lead = first.shape[:-2] if lm_mode else first.shape[:-1]
+        flat = {}
+        for c, a in contents.items():
+            tail = a.shape[len(lead):]
+            flat[c] = a.reshape((-1,) + tail)
+        M = first.reshape((-1,) + first.shape[len(lead):]).shape[0]
+
+        P = int(self.item_page_size or 0)
+        if P > 0 and M > P:
+            out = self._encode_paged(flat, M, P, training, catalog)
+        else:
+            out = self._encode_flat(flat, training, catalog)
         # rank-preserving restore: per-item outputs may be vectors (D) or
         # stacks (Si, D) — semantic-code operators keep their trailing rank
         return out.reshape(*lead, *out.shape[1:])
+
+    def _encode_paged(self, flat: Dict[str, jnp.ndarray], M: int, P: int,
+                      training: bool, catalog: bool) -> jnp.ndarray:
+        """lax.scan over fixed-size pages of the flattened occurrences.
+
+        Static shapes (pad to a page multiple), params broadcast across
+        pages, per-page dropout rngs, and nn.remat so only one page's
+        activations are live in the backward. Catalog gradient plans are
+        shape-bound to the full matrix, so they do not apply under paging
+        (each page does its own lookup)."""
+        from legommenders_tpu.data.token_store import UNSET
+
+        n_pages = -(-M // P)
+        pad = n_pages * P - M
+        paged = {}
+        for c, a in flat.items():
+            if pad:
+                widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+                fill = 0.0 if jnp.issubdtype(a.dtype, jnp.floating) else UNSET
+                a = jnp.pad(a, widths, constant_values=fill)
+            paged[c] = a.reshape((n_pages, P) + a.shape[1:])
+
+        def body(mdl, carry, page):
+            return carry, mdl._encode_flat(page, training=training,
+                                           catalog=False)
+
+        _, ys = nn.scan(
+            nn.remat(body, prevent_cse=False),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0, out_axes=0,
+        )(self, (), paged)
+        out = ys.reshape((n_pages * P,) + ys.shape[2:])
+        return out[:M]
 
     def encode_item_lower(self, contents: Dict[str, jnp.ndarray],
                           training: bool = False):
