@@ -261,9 +261,12 @@ class Legommender(nn.Module):
                     user_repr = self.encode_user_flatten(hist_contents, training)
             else:
                 # auto prefers the catalog pass up to 2x the occurrence
-                # count: it is within 2x of optimal cost there, and the
-                # per-occurrence graph has shown pathological compiles on
-                # some TPU toolchains at large occurrence counts (ROADMAP #1)
+                # count: each encoded row costs the same, catalog encodes
+                # every item exactly once (occurrences are gathers), and
+                # the catalog lookup backward can use the precomputed
+                # gather-reduce plan. (The former "per-occurrence compiler
+                # hang" was root-caused to threefry dropout keys folded in
+                # a donated step — see runtime/steps.default_rng_impl.)
                 use_catalog = self.full_catalog_encode == "on" or (
                     self.full_catalog_encode == "auto"
                     and num_items <= 2 * B * (K + S))

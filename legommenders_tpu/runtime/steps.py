@@ -60,13 +60,28 @@ def make_train_step(model, item_contents, optimizer,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def default_rng_impl() -> str:
+    """Dropout PRNG implementation for the hot train path.
+
+    threefry2x32 key derivation folded inside a donated train step sends
+    the TPU (axon Mosaic) compiler into a pathological ~300s compile at
+    per-occurrence encode shapes (measured: 308s threefry vs 6.7s rbg on
+    an otherwise identical NAML step; grad-only threefry is 9s, so it is
+    the threefry×fold_in×donation combination). `rbg` uses the hardware
+    RNG and sidesteps it entirely; dropout needs no counter-based
+    reproducibility guarantees across backends, so TPU defaults to rbg
+    and CPU keeps threefry (test determinism)."""
+    return "rbg" if jax.default_backend() not in ("cpu",) else "threefry2x32"
+
+
 def make_train_step_folded(model, item_contents, optimizer,
                            use_neg_sampling: bool = True,
-                           seed: int = 0) -> Callable:
+                           seed: int = 0,
+                           rng_impl: Optional[str] = None) -> Callable:
     """Hot-loop variant: rng derived in-jit from an int32 step counter
     (avoids a host-side jax.random.split per step)."""
     loss_fn = make_loss_fn(model, item_contents, use_neg_sampling)
-    base = jax.random.PRNGKey(seed)
+    base = jax.random.key(seed, impl=rng_impl or default_rng_impl())
 
     def step(params, opt_state, batch, step_idx):
         rng = jax.random.fold_in(base, step_idx)

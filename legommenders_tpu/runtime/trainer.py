@@ -179,15 +179,17 @@ class Trainer:
                 neg_count=self.m.lego_cfg.neg_count,
                 use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
                 seed=self.seed)
+            from legommenders_tpu.runtime.steps import default_rng_impl
             step_fn = dpipe.make_fused_train_step(
                 self.m.model, self.m.contents.columns, self.optimizer,
                 seed=self.seed,
-                rng_impl=str(policy.get("rng_impl") or "threefry2x32"))
+                rng_impl=str(policy.get("rng_impl") or default_rng_impl()))
         else:
             from legommenders_tpu.runtime.steps import make_train_step_folded
             step_fn = make_train_step_folded(
                 self.m.model, self.m.contents.columns, self.optimizer,
-                self.m.lego_cfg.use_neg_sampling, seed=self.seed)
+                self.m.lego_cfg.use_neg_sampling, seed=self.seed,
+                rng_impl=policy.get("rng_impl"))
         global_step = 0
         epoch_batch = int(policy.get("epoch_batch") or 0)
         check_interval = int(policy.get("check_interval") or -2)
