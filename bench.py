@@ -73,12 +73,40 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_sec = n_steps * batch_size / dt
+    step_s = dt / n_steps
+
+    # ---- honest breakdown: where the step time goes -------------------
+    # fwd-only and fwd+bwd variants of the same fused graph, timed
+    # separately; opt = full step minus fwd+bwd (adam + embedding update)
+    fwd_t = dp.time_loss_only(m.model, m.contents.columns, params,
+                              jnp.asarray(idx0), n_steps=50)
+    fb_t = dp.time_grad_only(m.model, m.contents.columns, params,
+                             jnp.asarray(idx0), n_steps=50)
+
+    # hardware-grounded estimates at the bench geometry (catalog mode):
+    # every step encodes the full 65k catalog once (CNN d=64) + embeds
+    # 1.95M catalog tokens; dominant traffic = embedding fwd gather +
+    # bwd segment-sum over (N*L, 64) f32 rows
+    N, L, D = 65000, 30, 64
+    tok_bytes = N * L * D * 4
+    flops = (
+        # catalog CNN encode fwd (k=3): N*L*(2*k*D*D) + additive attn
+        N * L * 2 * 3 * D * D
+        # user Ada attention + dot predictor (B rows, S=50 clicks, K=5)
+        + batch_size * (50 + 5) * 2 * D * D
+    ) * 3  # fwd + ~2x bwd
     baseline = 15000.0  # reference MPS impressions/sec (BASELINE.md)
     print(json.dumps({
         "metric": "train_impressions_per_sec_per_chip",
         "value": round(samples_per_sec, 1),
         "unit": "impressions/s",
         "vs_baseline": round(samples_per_sec / baseline, 3),
+        "step_ms": round(step_s * 1e3, 2),
+        "fwd_ms": round(fwd_t * 1e3, 2),
+        "bwd_ms": round((fb_t - fwd_t) * 1e3, 2),
+        "opt_ms": round((step_s - fb_t) * 1e3, 2),
+        "model_tflops_per_s_est": round(flops / step_s / 1e12, 2),
+        "embed_grad_gbytes_per_step": round(tok_bytes / 1e9, 2),
     }))
 
 

@@ -180,3 +180,47 @@ class DeviceTrainPipeline:
             return params, opt_state, loss
 
         return jax.jit(step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def _make_loss_fn(self, model, item_contents,
+                      rng_impl: str = "rbg", seed: int = 0):
+        base = jax.random.key(seed, impl=rng_impl)
+        use_neg = self.use_neg_sampling
+
+        def loss_fn(params, idx, step_idx):
+            rng = jax.random.fold_in(base, step_idx)
+            sample_rng, dropout_rng = jax.random.split(rng)
+            batch = self.assemble(idx, sample_rng)
+            scores = model.apply(params, batch, item_contents,
+                                 training=True,
+                                 rngs={"dropout": dropout_rng})
+            if use_neg:
+                return neg_sampling_loss(scores)
+            return ranking_loss(scores, batch["label"])
+        return loss_fn
+
+    def time_loss_only(self, model, item_contents, params, idx,
+                       n_steps: int = 50, rng_impl: str = "rbg") -> float:
+        """Mean seconds/step for the fused FORWARD (assemble+loss) graph —
+        used by bench.py to break the step into fwd/bwd/opt."""
+        import time
+        fn = jax.jit(self._make_loss_fn(model, item_contents, rng_impl))
+        jax.block_until_ready(fn(params, idx, 0))
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            out = fn(params, idx, i + 1)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_steps
+
+    def time_grad_only(self, model, item_contents, params, idx,
+                       n_steps: int = 50, rng_impl: str = "rbg") -> float:
+        """Mean seconds/step for fused forward+backward (no optimizer)."""
+        import time
+        fn = jax.jit(jax.value_and_grad(
+            self._make_loss_fn(model, item_contents, rng_impl)))
+        jax.block_until_ready(fn(params, idx, 0)[0])
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            out = fn(params, idx, i + 1)
+        jax.block_until_ready(out[0])
+        return (time.perf_counter() - t0) / n_steps

@@ -96,9 +96,14 @@ def build_lm_hidden(model, params, contents: Dict[str, jnp.ndarray],
 def load_or_build_lm_cache(model, params, contents, data_name: str,
                            operator_name: str, layer: int,
                            page_size: int = 256, root: str = "cache",
-                           regenerate: bool = False
+                           regenerate: bool = False, device_dtype=None
                            ) -> Dict[str, jnp.ndarray]:
-    """Returns the extra content entries {LM_HIDDEN_KEY, LM_MASK_KEY}."""
+    """Returns the extra content entries {LM_HIDDEN_KEY, LM_MASK_KEY}.
+
+    `device_dtype` sets the dtype of the device-resident hidden states
+    (the on-disk cache stays f32): bf16 halves HBM for the (N, L, D)
+    catalog cache — 6GB -> 3GB at MIND scale with BERT-base — and the
+    upper slice computes in its own `lm_dtype` anyway."""
     sig = weights_fingerprint(params)
     d = cache_dir(data_name, operator_name, root)
     hpath = os.path.join(d, f"layer_{layer}.{sig}.npy")
@@ -112,7 +117,7 @@ def load_or_build_lm_cache(model, params, contents, data_name: str,
         os.makedirs(d, exist_ok=True)
         np.save(hpath, hidden)
         np.save(mpath, mask)
-    return {LM_HIDDEN_KEY: jnp.asarray(hidden),
+    return {LM_HIDDEN_KEY: jnp.asarray(hidden, dtype=device_dtype),
             LM_MASK_KEY: jnp.asarray(mask)}
 
 

@@ -80,7 +80,7 @@ class Manager:
                 data_name=self.data.name, operator_name=op.transformer_key,
                 layer=op.resolved_tune_from,
                 page_size=self.lego_cfg.cache_page_size,
-                regenerate=regenerate)
+                regenerate=regenerate, device_dtype=op.lm_dtype)
         self.contents.columns.update(extra)
         return True
 

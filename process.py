@@ -35,6 +35,18 @@ def main(argv):
             vocab_name, fn, vocab = resolve(spec)
             extra[vocab_name] = (fn, int(cli.get("lm_truncate", 50)), vocab)
         kwargs["extra_tokenizers"] = extra
+    # xMIND: reference re-tokenizes every language with one HF tokenizer
+    # (processor/xmind_processor.py:38-60) — expose that via the same
+    # --tokenizers spec (single spec, e.g. `llama1` from the .model
+    # dotfile, or `word` for the no-checkpoint default)
+    if "tokenize_fn" in cls.__init__.__code__.co_varnames:
+        if cli.get("tokenizers"):
+            from legommenders_tpu.data.tokenizers import resolve
+            spec = str(cli["tokenizers"]).split("+")[0]
+            _, fn, _vocab = resolve(spec)
+            kwargs["tokenize_fn"] = fn
+        if cli.get("mind_dir"):
+            kwargs["mind_dir"] = cli["mind_dir"]
     processor = cls(**kwargs)
     stores = processor.load(regenerate=bool(cli.get("regenerate")))
     for part, store in stores.items():

@@ -291,3 +291,35 @@ def test_tokenizer_resolution(tmp_path, fake_mind):
         env={**os.environ, "JAX_PLATFORM_NAME": "cpu"})
     assert out.returncode == 0, out.stderr[-2000:]
     assert "title@glove" in out.stdout
+
+
+def test_xmind_cli_tokenizer(fake_mind, tmp_path):
+    """process.py exposes the xMIND tokenizer (reference re-tokenizes all
+    languages with one HF tokenizer, xmind_processor.py:38-60): --tokenizers
+    spec becomes tokenize_fn, --mind_dir points at the processed MIND store."""
+    import subprocess
+    import sys as _sys
+
+    mind_dir = str(tmp_path / "mind")
+    PROCESSORS["mind"](raw_dir=fake_mind, save_dir=mind_dir).load(True)
+    xroot = tmp_path / "xmind_raw" / "xMINDsmall_train"
+    xroot.mkdir(parents=True)
+    with open(xroot / "news.tsv", "w") as f:
+        for i in range(30):
+            f.write(f"N{i}\tTitel nummer {i}\tZusammenfassung {i}\n")
+
+    glove = tmp_path / "glove.xm.txt"
+    with open(glove, "w") as f:
+        for w in ["titel", "nummer", "zusammenfassung"]:
+            f.write(w + " " + " ".join(["0.1"] * 5) + "\n")
+
+    out = subprocess.run(
+        [_sys.executable, "process.py", "--data", "xmind-fin",
+         "--raw_dir", str(tmp_path / "xmind_raw"),
+         "--save_dir", str(tmp_path / "xm"),
+         "--mind_dir", mind_dir,
+         "--tokenizers", f"glove:{glove}", "--regenerate", "1"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORM_NAME": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "title@fin" in out.stdout
