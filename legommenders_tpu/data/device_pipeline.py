@@ -37,6 +37,26 @@ def _device_pad(arr_2d: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.where(arr_2d == UNSET, 0, arr_2d).astype(np.int32))
 
 
+_BIG_CONTENT_BYTES = 64 << 20  # 64 MB
+
+
+def _split_contents(item_contents):
+    """(small, big): small columns stay jit closure constants — they must
+    remain CONCRETE so CatalogGradPlan.matches_source can verify them and
+    keep the gather-reduce embedding backward active; big columns (the
+    multi-GB LM hidden cache) become jit arguments — captured device arrays
+    are baked into the lowering as constants, which at LM scale means a
+    3GB+ executable and a pathological compile."""
+    small, big = {}, {}
+    for c, a in item_contents.items():
+        a = jnp.asarray(a)
+        if a.size * a.dtype.itemsize >= _BIG_CONTENT_BYTES:
+            big[c] = a
+        else:
+            small[c] = a
+    return small, big
+
+
 class DeviceTrainPipeline:
     """HBM substrate + fused (assemble -> loss -> update) train step."""
 
@@ -163,52 +183,62 @@ class DeviceTrainPipeline:
         base = jax.random.key(seed, impl=rng_impl)
         use_neg = self.use_neg_sampling
 
-        def loss_fn(params, idx, rng):
+        small, big = _split_contents(item_contents)
+
+        def loss_fn(params, big_contents, idx, rng):
             sample_rng, dropout_rng = jax.random.split(rng)
             batch = self.assemble(idx, sample_rng)
-            scores = model.apply(params, batch, item_contents,
+            scores = model.apply(params, batch, {**small, **big_contents},
                                  training=True, rngs={"dropout": dropout_rng})
             if use_neg:
                 return neg_sampling_loss(scores)
             return ranking_loss(scores, batch["label"])
 
-        def step(params, opt_state, idx, step_idx):
+        def step(params, opt_state, big_contents, idx, step_idx):
             rng = jax.random.fold_in(base, step_idx)
-            loss, grads = jax.value_and_grad(loss_fn)(params, idx, rng)
+            loss, grads = jax.value_and_grad(loss_fn)(params, big_contents,
+                                                      idx, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        jitted = jax.jit(step, donate_argnums=(0, 1))
+
+        def run(params, opt_state, idx, step_idx):
+            return jitted(params, opt_state, big, idx, step_idx)
+
+        return run
 
     # ------------------------------------------------------------------
     def _make_loss_fn(self, model, item_contents,
                       rng_impl: str = "rbg", seed: int = 0):
         base = jax.random.key(seed, impl=rng_impl)
         use_neg = self.use_neg_sampling
+        small, big = _split_contents(item_contents)
 
-        def loss_fn(params, idx, step_idx):
+        def loss_fn(params, big_contents, idx, step_idx):
             rng = jax.random.fold_in(base, step_idx)
             sample_rng, dropout_rng = jax.random.split(rng)
             batch = self.assemble(idx, sample_rng)
-            scores = model.apply(params, batch, item_contents,
+            scores = model.apply(params, batch, {**small, **big_contents},
                                  training=True,
                                  rngs={"dropout": dropout_rng})
             if use_neg:
                 return neg_sampling_loss(scores)
             return ranking_loss(scores, batch["label"])
-        return loss_fn
+        return loss_fn, big
 
     def time_loss_only(self, model, item_contents, params, idx,
                        n_steps: int = 50, rng_impl: str = "rbg") -> float:
         """Mean seconds/step for the fused FORWARD (assemble+loss) graph —
         used by bench.py to break the step into fwd/bwd/opt."""
         import time
-        fn = jax.jit(self._make_loss_fn(model, item_contents, rng_impl))
-        jax.block_until_ready(fn(params, idx, 0))
+        loss_fn, big = self._make_loss_fn(model, item_contents, rng_impl)
+        fn = jax.jit(loss_fn)
+        jax.block_until_ready(fn(params, big, idx, 0))
         t0 = time.perf_counter()
         for i in range(n_steps):
-            out = fn(params, idx, i + 1)
+            out = fn(params, big, idx, i + 1)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n_steps
 
@@ -216,11 +246,11 @@ class DeviceTrainPipeline:
                        n_steps: int = 50, rng_impl: str = "rbg") -> float:
         """Mean seconds/step for fused forward+backward (no optimizer)."""
         import time
-        fn = jax.jit(jax.value_and_grad(
-            self._make_loss_fn(model, item_contents, rng_impl)))
-        jax.block_until_ready(fn(params, idx, 0)[0])
+        loss_fn, big = self._make_loss_fn(model, item_contents, rng_impl)
+        fn = jax.jit(jax.value_and_grad(loss_fn))
+        jax.block_until_ready(fn(params, big, idx, 0)[0])
         t0 = time.perf_counter()
         for i in range(n_steps):
-            out = fn(params, idx, i + 1)
+            out = fn(params, big, idx, i + 1)
         jax.block_until_ready(out[0])
         return (time.perf_counter() - t0) / n_steps
