@@ -5,12 +5,13 @@ Baseline: the reference handbook NAML run implies ~15k train samples/sec on
 Apple-M MPS (BASELINE.md) — the only concrete published number.
 """
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def main(argv=()):
     import jax
     import jax.numpy as jnp
     import optax
@@ -36,7 +37,9 @@ def main():
                    "full_catalog_encode": "on",
                    "item_config": {"dropout": 0.1, "kernel_size": 3}},
     }
-    batch_size = 8192
+    from legommenders_tpu.utils.function import parse_cli
+    cli = parse_cli(list(argv))
+    batch_size = int(cli.get("batch_size") or 16384)
     m = Manager({}, model_cfg,
                 exp_cfg={"policy": {"batch_size": batch_size,
                                     "dtype": "bf16"}}, data=data)
@@ -111,4 +114,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:])

@@ -101,7 +101,10 @@ def main(argv):
     params = init_params(m.model, tiny_batch, tiny_contents, seed=0)
 
     t0 = time.perf_counter()
-    assert m.prepare_lm_cache(params, regenerate=True), \
+    # cache is fingerprint-keyed on the lower-slice weights (seed-stable
+    # here), so disk reuse across runs is safe; --regen 1 forces a rebuild
+    assert m.prepare_lm_cache(params,
+                              regenerate=bool(int(cli.get("regen") or 0))), \
         "LM layer-split cache not prepared (is tune_from set?)"
     cache_s = time.perf_counter() - t0
     hid = m.contents.columns["__lm_hidden__"]

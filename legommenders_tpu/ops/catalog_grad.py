@@ -33,6 +33,13 @@ An earlier variant expressed the segment-sum as one-hot matmuls inside a
 plus one-hot materialization traffic. The gather-reduce needs no MXU and no
 sequential loop. No reference counterpart — the reference's torch backward
 is a CUDA scatter-add (torch embedding backward).
+
+Fanout choice (tools/segsum_bench.py on the v5e, M=1.95M D=64 V=30k):
+level-1 reads every cotangent row exactly once regardless of F, and that
+random 256B-row traffic IS the floor — F=8 hits it (13.7 ms bwd, equal to
+the bare g[order] permutation) while F=16 pessimizes the gather pattern
+(25.5 ms); raw scatter-add 17.3 ms; a sorted block-diagonal one-hot MXU
+variant and bf16 cotangents both lose. Hence default fanout=8.
 """
 import hashlib
 from typing import List, Tuple
@@ -77,7 +84,7 @@ class CatalogGradPlan:
     occurrences accumulate, untouched rows get zero cotangent).
     """
 
-    def __init__(self, ids: np.ndarray, num_rows: int, fanout: int = 16,
+    def __init__(self, ids: np.ndarray, num_rows: int, fanout: int = 8,
                  name: str = ""):
         self.source = ids                  # original array object
         ids = np.asarray(ids)
@@ -167,7 +174,7 @@ class CatalogGradPlan:
         return _ids_md5(ids) == self.source_md5
 
 
-def build_catalog_plans(columns, col_vocabs, specs, fanout: int = 16):
+def build_catalog_plans(columns, col_vocabs, specs, fanout: int = 8):
     """Plans for every trainable item-content column.
 
     columns: {col: (N, L) token ids (np or jnp)}; col_vocabs: {col: vocab

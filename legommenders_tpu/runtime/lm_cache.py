@@ -109,9 +109,11 @@ def load_or_build_lm_cache(model, params, contents, data_name: str,
     hpath = os.path.join(d, f"layer_{layer}.{sig}.npy")
     mpath = os.path.join(d, f"mask.{sig}.npy")
     if not regenerate and os.path.isfile(hpath) and os.path.isfile(mpath):
-        hidden = np.load(hpath)
+        # caches are scrubbed BEFORE saving (build_lm_hidden) — mmap and
+        # ship straight to device, no host copy / re-scrub of the multi-GB
+        # array
+        hidden = np.load(hpath, mmap_mode="r")
         mask = np.load(mpath)
-        hidden, mask = scrub_nans(hidden, mask)
     else:
         hidden, mask = build_lm_hidden(model, params, contents, page_size)
         os.makedirs(d, exist_ok=True)

@@ -61,22 +61,27 @@ def main(argv):
 
     results = {}
 
-    # current plan at several fanouts
+    # current plan at several fanouts (g passed as ARG — the axon
+    # remote-compile tunnel 413s on multi-MB closure constants)
+    def plan_vjp(plan):
+        def f(t, gg):
+            _, vjp = jax.vjp(plan.take, t)
+            return vjp(gg.reshape(N, L, D))[0]
+        return jax.jit(f)
+
     for F in (8, 16, 32):
         plan = CatalogGradPlan(ids, V, fanout=F)
-        bwd = jax.jit(jax.grad(lambda t: jnp.vdot(
-            plan.take(t), jnp.reshape(g, (N, L, D)))))
-        results[f"plan-f{F}"] = timeit(bwd, table)
+        results[f"plan-f{F}"] = timeit(plan_vjp(plan), table, g)
 
     # bf16 cotangent through the best plan
     plan16 = CatalogGradPlan(ids, V, fanout=16)
-    gh = g.astype(jnp.bfloat16)
 
-    def bf16_bwd(t):
-        return jax.grad(lambda tt: jnp.vdot(
-            plan16.take(tt).astype(jnp.bfloat16), jnp.reshape(
-                gh, (N, L, D))).astype(jnp.float32))(t)
-    results["plan-bf16"] = timeit(jax.jit(bf16_bwd), table)
+    def bf16_bwd(t, gg):
+        _, vjp = jax.vjp(plan16.take, t)
+        return vjp(gg.reshape(N, L, D))[0]
+    results["plan-bf16"] = timeit(
+        jax.jit(bf16_bwd), table.astype(jnp.bfloat16),
+        g.astype(jnp.bfloat16))
 
     # raw scatter-add
     @jax.jit
