@@ -89,6 +89,61 @@ def _frozen_dense(features, freeze, dtype, name, use_bias=True):
                      name=name, use_bias=use_bias)
 
 
+def _pipelined_stack(mdl, layer_module, x, mask_bias, training: bool,
+                     mesh):
+    """Run a slice's layer stack through GPipe stages over the ambient
+    `pp` mesh axis (parallel/pipeline.gpipe_tree).
+
+    First-class `pipeline_stages` knob (ROADMAP scale-out): the slice's
+    per-layer param subtrees are read from the module's bound variables
+    (created by the serial path at init), stacked (stages,
+    layers_per_stage, ...), and each device applies its own contiguous
+    layer block; microbatches stream through stages with ppermute
+    hand-offs. The attention bias and a per-microbatch dropout seed ride
+    along with the activations. Differentiable — grads flow back through
+    the stack to the original per-layer params. No reference counterpart
+    (the reference is single-device)."""
+    from legommenders_tpu.parallel.pipeline import (
+        PP_AXIS, gpipe_tree, stack_layer_params,
+    )
+
+    stages = int(mdl.pipeline_stages)
+    assert mdl.num_layers % stages == 0, (
+        f"num_layers {mdl.num_layers} % pipeline_stages {stages} != 0")
+    per = mdl.num_layers // stages
+    assert not getattr(mdl, "collect_pooled", False), \
+        "IISAN pooled collection is not supported under pipeline_stages"
+    names = [f"layer_{i}"
+             for i in range(mdl.start, mdl.start + mdl.num_layers)]
+    params = mdl.variables["params"]
+    stacked = stack_layer_params(params, names, per)
+
+    B = x.shape[0]
+    needs_rng = training and (mdl.dropout > 0 or mdl.lora_dropout > 0) \
+        if hasattr(mdl, "dropout") else training and mdl.lora_dropout > 0
+    if needs_rng:
+        seeds = jax.random.bits(mdl.make_rng("dropout"), (B,), jnp.uint32)
+    else:
+        seeds = jnp.zeros((B,), jnp.uint32)
+
+    M = int(getattr(mdl, "pipeline_microbatches", 0) or 2 * stages)
+
+    def stage_fn(stage_params, tree):
+        h, bias, seed = tree
+        s_idx = jax.lax.axis_index(PP_AXIS)
+        for j in range(per):
+            pj = jax.tree_util.tree_map(lambda a: a[j], stage_params)
+            key = jax.random.fold_in(
+                jax.random.key(seed[0], impl="threefry2x32"),
+                s_idx * per + j)
+            h = layer_module.apply({"params": pj}, h, bias, training,
+                                   rngs={"dropout": key})
+        return (h, bias, seed)
+
+    out = gpipe_tree(stage_fn, stacked, (x, mask_bias, seeds), mesh, M)
+    return out[0]
+
+
 # ---------------------------------------------------------------------------
 # BERT
 # ---------------------------------------------------------------------------
@@ -178,6 +233,8 @@ class BertEncoderSlice(nn.Module):
     lora_dropout: float = 0.0
     freeze_base: bool = False
     dropout: float = 0.1
+    pipeline_stages: int = 0      # >1: stage layers over the ambient pp mesh
+    pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -200,6 +257,16 @@ class BertEncoderSlice(nn.Module):
                                     dtype=self.dtype,
                                     name="embeddings_norm")(x)
             x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        from legommenders_tpu.parallel.mesh import get_pp_mesh
+        pp_mesh = get_pp_mesh()
+        if (self.pipeline_stages > 1 and pp_mesh is not None
+                and not self.is_initializing()):
+            layer_mod = BertLayer(self.num_heads, self.lora_r,
+                                  self.lora_alpha, self.lora_dropout,
+                                  self.freeze_base, self.dropout,
+                                  dtype=self.dtype)
+            return _pipelined_stack(self, layer_mod, x, mask_bias,
+                                    training, pp_mesh)
         pooled = []
         m = mask.astype(self.dtype)[:, :, None]
         denom = jnp.maximum(m.sum(axis=1), 1.0)
@@ -367,6 +434,8 @@ class LlamaDecoderSlice(nn.Module):
     qkv_bias: bool = False
     rotary_fraction: float = 1.0
     rotary_interleaved: bool = False
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -378,6 +447,23 @@ class LlamaDecoderSlice(nn.Module):
         allowed = causal[None, None, :, :] & pad
         mask_bias = jnp.where(allowed, 0.0, neg).astype(self.dtype)
         x = hidden_states.astype(self.dtype)
+        from legommenders_tpu.parallel.mesh import get_pp_mesh
+        pp_mesh = get_pp_mesh()
+        if (self.pipeline_stages > 1 and pp_mesh is not None
+                and not self.is_initializing()):
+            layer_mod = LlamaDecoderLayer(
+                self.num_heads, self.num_kv_heads, self.intermediate_size,
+                self.lora_r, self.lora_alpha, self.lora_dropout,
+                self.freeze_base, self.rope_theta, qkv_bias=self.qkv_bias,
+                rotary_fraction=self.rotary_fraction,
+                rotary_interleaved=self.rotary_interleaved,
+                dtype=self.dtype)
+            x = _pipelined_stack(self, layer_mod, x, mask_bias,
+                                 training, pp_mesh)
+            if self.final_norm:
+                x = RMSNorm(freeze=self.freeze_base, dtype=self.dtype,
+                            name="final_norm")(x)
+            return x
         pooled = []
         m = mask.astype(self.dtype)[:, :, None]
         denom = jnp.maximum(m.sum(axis=1), 1.0)
@@ -455,6 +541,8 @@ class OPTDecoderSlice(nn.Module):
     lora_alpha: int = 16
     lora_dropout: float = 0.0
     freeze_base: bool = False
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -477,6 +565,21 @@ class OPTDecoderSlice(nn.Module):
             positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
             positions = jnp.clip(positions, 0) + 2
             x = x + jnp.take(pos_table, positions, axis=0).astype(self.dtype)
+        from legommenders_tpu.parallel.mesh import get_pp_mesh
+        pp_mesh = get_pp_mesh()
+        if (self.pipeline_stages > 1 and pp_mesh is not None
+                and not self.is_initializing()):
+            layer_mod = OPTDecoderLayer(self.num_heads, self.ffn_dim,
+                                        self.lora_r, self.lora_alpha,
+                                        self.lora_dropout, self.freeze_base,
+                                        dtype=self.dtype)
+            x = _pipelined_stack(self, layer_mod, x, mask_bias,
+                                 training, pp_mesh)
+            if self.final_norm:
+                x = FrozenableLayerNorm(
+                    epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype,
+                    name="final_norm")(x)
+            return x
         pooled = []
         m = mask.astype(self.dtype)[:, :, None]
         denom = jnp.maximum(m.sum(axis=1), 1.0)

@@ -50,6 +50,11 @@ class LMOperator(BaseOperator):
     num_attention_heads: int = 12
     max_position: int = 512
     lm_dtype: jnp.dtype = jnp.float32
+    # first-class pipeline parallelism over the trainable slice: stage the
+    # layer stack across an ambient `pp` mesh (parallel.mesh.pipeline_parallel
+    # context; lm/layers._pipelined_stack). 0/1 = off.
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0
 
     inputer_class = ConcatInputer
     hf_family: str = ""  # "bert" | "llama" | "opt" — hf_loader mapping

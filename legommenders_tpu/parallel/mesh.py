@@ -58,6 +58,43 @@ class sequence_parallel:
         return False
 
 
+# ambient pipeline-parallel mesh: LM slices with pipeline_stages > 1 read
+# it at trace time to stage their layer stack over the "pp" axis
+# (parallel/pipeline.py gpipe_tree)
+_ACTIVE_PP_MESH: Optional[Mesh] = None
+
+
+def get_pp_mesh() -> Optional[Mesh]:
+    return _ACTIVE_PP_MESH
+
+
+def set_pp_mesh(mesh: Optional[Mesh]):
+    global _ACTIVE_PP_MESH
+    _ACTIVE_PP_MESH = mesh
+
+
+class pipeline_parallel:
+    """Context manager activating a PP mesh for LM-slice tracing:
+        with pipeline_parallel(mesh):  # mesh must carry a "pp" axis
+            step(...)
+    """
+
+    def __init__(self, mesh: Mesh):
+        from legommenders_tpu.parallel.pipeline import PP_AXIS
+        assert PP_AXIS in mesh.axis_names, \
+            f"mesh {mesh.axis_names} lacks a '{PP_AXIS}' axis"
+        self.mesh = mesh
+
+    def __enter__(self):
+        self._prev = get_pp_mesh()
+        set_pp_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_pp_mesh(self._prev)
+        return False
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None):

@@ -90,6 +90,79 @@ def gpipe(stage_fn: Callable, stage_params, x: jnp.ndarray, mesh: Mesh,
     return out.reshape(B, *x.shape[1:])
 
 
+def gpipe_tree(stage_fn: Callable, stage_params, x, mesh: Mesh,
+               num_microbatches: int, axis: str = PP_AXIS):
+    """gpipe over a PYTREE of per-row tensors.
+
+    `x` is a pytree whose leaves all have leading dim B — the hidden
+    states plus whatever must ride along with each microbatch through the
+    stages (attention bias, per-microbatch rng seeds). stage_fn(params,
+    x_tree) -> x_tree (same structure). Returns the output pytree,
+    replicated over `axis`."""
+    leaves = jax.tree_util.tree_leaves(x)
+    B = leaves[0].shape[0]
+    M = num_microbatches
+    assert B % M == 0, f"batch {B} % microbatches {M} != 0"
+    mb = B // M
+    x_mb = jax.tree_util.tree_map(
+        lambda a: a.reshape(M, mb, *a.shape[1:]), x)
+
+    def per_device(params_local, x_all):
+        params_local = jax.tree_util.tree_map(lambda a: a[0], params_local)
+        p_idx = jax.lax.axis_index(axis)
+        n_stage = jax.lax.psum(1, axis)
+        ticks = M + n_stage - 1
+
+        act0 = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape[1:], a.dtype), x_all)
+        out0 = jax.tree_util.tree_map(jnp.zeros_like, x_all)
+
+        def tick(carry, t):
+            act, out = carry
+            feed_idx = jnp.clip(t, 0, M - 1)
+            fresh = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, feed_idx, axis=0, keepdims=False), x_all)
+            take_fresh = (p_idx == 0) & (t < M)
+            act_in = jax.tree_util.tree_map(
+                lambda f, a: jnp.where(take_fresh, f, a), fresh, act)
+            act_out = stage_fn(params_local, act_in)
+            done_idx = t - (n_stage - 1)
+            bank = (p_idx == n_stage - 1) & (done_idx >= 0)
+            slot = jnp.clip(done_idx, 0, M - 1)
+
+            def bank_one(o, a):
+                cur = jax.lax.dynamic_index_in_dim(o, slot, axis=0,
+                                                   keepdims=False)
+                return jax.lax.dynamic_update_index_in_dim(
+                    o, jnp.where(bank, a, cur), slot, axis=0)
+            banked = jax.tree_util.tree_map(bank_one, out, act_out)
+            nxt = jax.tree_util.tree_map(
+                lambda a: jax.lax.ppermute(
+                    a, axis,
+                    [(i, (i + 1) % n_stage) for i in range(n_stage)]),
+                act_out)
+            return (nxt, banked), None
+
+        (_, out), _ = jax.lax.scan(tick, (act0, out0), jnp.arange(ticks))
+        out = jax.tree_util.tree_map(
+            lambda o: jax.lax.psum(
+                jnp.where(p_idx == n_stage - 1, o, jnp.zeros_like(o)),
+                axis), out)
+        return out
+
+    spec_params = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
+    spec_x = jax.tree_util.tree_map(lambda _: P(), x_mb)
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec_params, spec_x),
+        out_specs=jax.tree_util.tree_map(lambda _: P(), x_mb),
+        check_rep=False,
+    )(stage_params, x_mb)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(B, *a.shape[2:]), out)
+
+
 def stack_layer_params(params: dict, layer_names, layers_per_stage: int,
                        apply_fn=None):
     """Helper: turn {layer_0: tree, layer_1: tree, ...} into a pytree of

@@ -151,6 +151,36 @@ def sweep(n_devices=8, steps=3, batch_size=16, rtol=2e-4):
         "collective_bytes": collective_volume(hlo),
         "ok": bool(np.isfinite(float(sp_loss))),
     })
+
+    # pipeline-parallel point: first-class pipeline_stages knob on the LM
+    # slice (lm/layers._pipelined_stack) — staged forward must equal the
+    # serial slice
+    from legommenders_tpu.models.lm.layers import BertEncoderSlice
+    from legommenders_tpu.parallel.mesh import pipeline_parallel
+
+    pp = 2 if n_devices >= 2 else 1
+    if pp > 1:
+        B, L, D = 8, 6, 16
+        xr = np.random.default_rng(2)
+        xh = jnp.asarray(xr.standard_normal((B, L, D)).astype(np.float32))
+        xm = jnp.ones((B, L), jnp.int32)
+        kw = dict(num_layers=2, num_heads=2, start=0, embed=False,
+                  dropout=0.0)
+        serial = BertEncoderSlice(**kw)
+        piped = BertEncoderSlice(**kw, pipeline_stages=pp)
+        p0 = serial.init(jax.random.PRNGKey(0), xh, xm, False)
+        y0 = np.asarray(serial.apply(p0, xh, xm, False))
+        pp_mesh = Mesh(np.asarray(jax.devices()[:pp]), ("pp",))
+        with pipeline_parallel(pp_mesh):
+            fn = jax.jit(lambda p: piped.apply(p, xh, xm, False))
+            hlo = fn.lower(p0).compile().as_text()
+            y1 = np.asarray(fn(p0))
+        dev = float(np.max(np.abs(y1 - y0)))
+        assert dev < 1e-4, f"pp={pp} staged slice diverged by {dev}"
+        records.append({
+            "pp": pp, "max_out_dev_vs_serial": dev,
+            "collective_bytes": collective_volume(hlo), "ok": True,
+        })
     return records
 
 
