@@ -138,6 +138,19 @@ def main(argv):
     step_s = dt / n_steps
     impr_per_sec = batch_size / step_s
 
+    # fwd/bwd breakdown needs a second live executable alongside the train
+    # step's buffers — at LM scale that can exhaust HBM; report nulls then
+    fwd_t = fb_t = None
+    try:
+        fwd_t = dp.time_loss_only(m.model, m.contents.columns, params,
+                                  jnp.asarray(idx0),
+                                  n_steps=max(5, n_steps // 4))
+        fb_t = dp.time_grad_only(m.model, m.contents.columns, params,
+                                 jnp.asarray(idx0),
+                                 n_steps=max(5, n_steps // 4))
+    except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED path
+        print(f"# breakdown skipped: {type(e).__name__}", file=sys.stderr)
+
     # ---- analytic FLOPs for the trainable path (per step) -------------
     # occurrences per step: `auto` picks catalog when N <= 2*B*(K+S)
     occ = (num_items
@@ -167,6 +180,9 @@ def main(argv):
         "vs_baseline": round(impr_per_sec / baseline, 3),
         "model": "bert-naml bf16 tune_from=%d lora_r=32" % tune_from,
         "step_ms": round(step_s * 1e3, 2),
+        "fwd_ms": round(fwd_t * 1e3, 2) if fwd_t else None,
+        "bwd_ms": round((fb_t - fwd_t) * 1e3, 2) if fb_t else None,
+        "opt_ms": round((step_s - fb_t) * 1e3, 2) if fb_t else None,
         "occurrences_per_step": occ,
         "trainable_slice_tflops_per_s": round(tflops, 2),
         "mfu_est": round(mfu, 4),

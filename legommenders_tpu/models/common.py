@@ -82,10 +82,13 @@ class MultiHeadSelfAttention(nn.Module):
     layer_norm: bool = False
     relu_out: bool = False
     out_proj: bool = True  # torch MultiheadAttention has an output projection
-    # opt-in Ulysses sequence parallelism (ops/sp_attention.py): under an
-    # active SP mesh, all-to-all re-shards sequence->heads and back; the
-    # q/k/v/out params are IDENTICAL to the local path
+    # opt-in sequence parallelism: under an active SP mesh, attention runs
+    # sharded over the sequence. sp_impl picks the algorithm — "ulysses"
+    # (ops/sp_attention.py, 2 all-to-alls, needs H % sp == 0) or "ring"
+    # (ops/ring_attention.py, rotating K/V + online softmax, no head
+    # constraint). The q/k/v/out params are IDENTICAL to the local path.
     sequence_parallel: bool = False
+    sp_impl: str = "ulysses"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,14 +108,21 @@ class MultiHeadSelfAttention(nn.Module):
             from legommenders_tpu.parallel.mesh import get_sp_mesh
             sp_mesh = get_sp_mesh()
             if sp_mesh is not None:
-                from legommenders_tpu.ops.sp_attention import (
-                    ulysses_attention,
-                )
                 assert self.use_scale and self.dropout == 0.0, \
-                    "ulysses path: scaled attention, no attention dropout"
+                    "sp path: scaled attention, no attention dropout"
                 m = mask if mask is not None else \
                     jnp.ones(x.shape[:2], jnp.int32)
-                out = ulysses_attention(q, k, v, m, sp_mesh, num_heads=H)
+                if self.sp_impl == "ring":
+                    from legommenders_tpu.ops.ring_attention import (
+                        ring_attention,
+                    )
+                    out = ring_attention(q, k, v, m, sp_mesh, num_heads=H)
+                else:
+                    from legommenders_tpu.ops.sp_attention import (
+                        ulysses_attention,
+                    )
+                    out = ulysses_attention(q, k, v, m, sp_mesh,
+                                            num_heads=H)
                 if self.out_proj:
                     out = nn.Dense(D, dtype=self.dtype, name="out")(out)
                 if self.use_residual:

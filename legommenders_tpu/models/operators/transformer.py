@@ -23,6 +23,7 @@ class TransformerLayer(nn.Module):
     intermediate_size: int = 256
     dropout: float = 0.1
     sequence_parallel: bool = False
+    sp_impl: str = "ulysses"   # or "ring" (ops/ring_attention.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -32,6 +33,7 @@ class TransformerLayer(nn.Module):
             num_heads=self.num_heads,
             dropout=0.0 if self.sequence_parallel else self.dropout,
             use_scale=True, sequence_parallel=self.sequence_parallel,
+            sp_impl=self.sp_impl,
             dtype=self.dtype, name="attn")(
             x, mask, training=training)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
@@ -48,9 +50,11 @@ class TransformerOperator(BaseOperator):
     attention_dropout: float = 0.1
     num_hidden_layers: int = 3
     max_position_embeddings: int = 1024
-    # opt-in SP (long flattened histories): Ulysses attention per layer +
-    # two-psum additive pooling, active under parallel.mesh.sequence_parallel
+    # opt-in SP (long flattened histories): per-layer sharded attention
+    # (sp_impl: "ulysses" all-to-all or "ring" rotating-KV) + two-psum
+    # additive pooling, active under parallel.mesh.sequence_parallel
     sequence_parallel: bool = False
+    sp_impl: str = "ulysses"
 
     @nn.compact
     def __call__(self, embeddings, mask=None, training: bool = False):
@@ -67,6 +71,7 @@ class TransformerOperator(BaseOperator):
                 self.num_attention_heads, self.hidden_size * 4,
                 self.attention_dropout,
                 sequence_parallel=self.sequence_parallel,
+                sp_impl=self.sp_impl,
                 dtype=self.dtype,
                 name=f"layer_{i}")(x, mask, training)
         x = nn.Dense(self.hidden_size, dtype=self.dtype)(x)

@@ -512,3 +512,91 @@ def test_pipeline_stages_llama_slice_parity():
         y1 = piped.apply(params, x, mask, False)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_matches_dense():
+    """Ring attention (rotating K/V + online softmax) equals dense masked
+    attention and the Ulysses path — fwd and grad — on the 8-way sp mesh."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from legommenders_tpu.ops.core import masked_softmax
+    from legommenders_tpu.ops.ring_attention import ring_attention
+
+    B, L, D, H = 4, 32, 32, 4
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+               for _ in range(3))
+    mask = np.ones((B, L), np.float32)
+    mask[1, 20:] = 0
+    mask[2, :] = 0          # fully-masked row -> zeros by convention
+    mask = jnp.asarray(mask)
+
+    def dense(q, k, v, mask):
+        d = D // H
+        qh = q.reshape(B, L, H, d)
+        kh = k.reshape(B, L, H, d)
+        vh = v.reshape(B, L, H, d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(d)
+        attn = masked_softmax(
+            scores, jnp.broadcast_to(mask[:, None, None, :], scores.shape))
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+        return out.reshape(B, L, D)
+
+    ref = dense(q, k, v, mask)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+    got = ring_attention(q, k, v, mask, mesh, num_heads=H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # grads w.r.t. q/k/v match dense
+    def loss_ring(args):
+        return jnp.sum(ring_attention(*args, mask, mesh, num_heads=H) ** 2)
+
+    def loss_dense(args):
+        return jnp.sum(dense(*args, mask) ** 2)
+
+    g1 = jax.grad(loss_ring)((q, k, v))
+    g0 = jax.grad(loss_dense)((q, k, v))
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_flatten_transformer_ring_attention_parity():
+    """Same operator parity as the Ulysses test but with sp_impl='ring' —
+    rotating-KV attention must match the local path on identical params."""
+    import jax.numpy as jnp
+    from legommenders_tpu.models.operators.transformer import (
+        FlattenTransformerOperator,
+    )
+    from legommenders_tpu.parallel.mesh import make_mesh, sequence_parallel
+
+    B, L, D, H = 2, 16, 32, 2   # H=2 with sp=4: ring has no head constraint
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    mask = jnp.asarray((rng.random((B, L)) > 0.2).astype(np.int32))
+    mask = mask.at[:, 0].set(1)
+
+    local = FlattenTransformerOperator(
+        hidden_size=D, input_dim=D, num_hidden_layers=2,
+        num_attention_heads=H, attention_dropout=0.0)
+    sp_op = FlattenTransformerOperator(
+        hidden_size=D, input_dim=D, num_hidden_layers=2,
+        num_attention_heads=H, attention_dropout=0.0,
+        sequence_parallel=True, sp_impl="ring")
+    params = local.init(jax.random.PRNGKey(0), x, mask)
+    want = local.apply(params, x, mask)
+
+    mesh = make_mesh(n_dp=1, n_mp=2, n_sp=4)
+    with sequence_parallel(mesh), mesh:
+        got = sp_op.apply(params, x, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+        g_sp = jax.grad(lambda p: jnp.sum(sp_op.apply(p, x, mask) ** 2))(
+            params)
+    g_local = jax.grad(lambda p: jnp.sum(local.apply(p, x, mask) ** 2))(
+        params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_local),
+                    jax.tree_util.tree_leaves(g_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
