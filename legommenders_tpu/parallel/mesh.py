@@ -152,19 +152,33 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, sharding)
 
 
-def params_shardings(params, mesh: Mesh, min_rows_to_shard: int = 0):
+# Megatron-style tensor parallelism for the LM encoder pass (SURVEY §7
+# item 11 "TP sharding for the encoder pass"): first GEMM of each pair is
+# column-sharded (its bias too), the second row-sharded with a replicated
+# bias — GSPMD then inserts exactly one all-reduce per attention/FFN block.
+_TP_COL_SHARDED = {"query", "key", "value", "q_proj", "k_proj", "v_proj",
+                   "intermediate", "fc1", "gate_proj", "up_proj"}
+_TP_ROW_SHARDED = {"output", "o_proj", "out_proj", "ffn_output", "fc2",
+                   "down_proj"}
+
+
+def params_shardings(params, mesh: Mesh, min_rows_to_shard: int = 0,
+                     lm_tp: bool = True):
     """Rule-based shardings: embedding tables (param name `emb_*`, 2-D, at
     least `min_rows_to_shard` rows) are row-sharded over `mp`; CrossNetMix
     expert tensors (U_i/V_i/C_i inside a CrossNetMix scope, leading axis =
     experts) are expert-sharded over `mp` (expert parallelism — GSPMD turns
-    the MoE combine into a psum); everything else replicated. Rule-based
+    the MoE combine into a psum); LM-slice attention/FFN kernels are
+    Megatron-TP-sharded over `mp` when `lm_tp` (LoRA deltas and norms stay
+    replicated — they are small); everything else replicated. Rule-based
     (instead of flax Partitioned boxes) keeps params as plain arrays for
     optax."""
     n_mp = mesh.shape[MP_AXIS]
 
     def spec_for(path, leaf):
         name = str(path[-1].key) if hasattr(path[-1], "key") else ""
-        scope = "/".join(str(getattr(p, "key", "")) for p in path)
+        keys = [str(getattr(p, "key", "")) for p in path]
+        scope = "/".join(keys)
         if (name.startswith("emb_") and leaf.ndim == 2
                 and leaf.shape[0] >= max(min_rows_to_shard, n_mp)
                 and leaf.shape[0] % n_mp == 0):
@@ -173,6 +187,18 @@ def params_shardings(params, mesh: Mesh, min_rows_to_shard: int = 0):
                 and name.split("_")[0] in ("U", "V", "C")
                 and leaf.shape[0] % n_mp == 0):
             return NamedSharding(mesh, P(MP_AXIS, None, None))
+        if lm_tp and n_mp > 1 and ("lm" in keys or "lm_lower" in keys):
+            parent = keys[-2] if len(keys) >= 2 else ""
+            if parent in _TP_COL_SHARDED:
+                if (name == "kernel" and leaf.ndim == 2
+                        and leaf.shape[1] % n_mp == 0):
+                    return NamedSharding(mesh, P(None, MP_AXIS))
+                if (name == "bias" and leaf.ndim == 1
+                        and leaf.shape[0] % n_mp == 0):
+                    return NamedSharding(mesh, P(MP_AXIS))
+            if (parent in _TP_ROW_SHARDED and name == "kernel"
+                    and leaf.ndim == 2 and leaf.shape[0] % n_mp == 0):
+                return NamedSharding(mesh, P(MP_AXIS, None))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -600,3 +600,71 @@ def test_flatten_transformer_ring_attention_parity():
                     jax.tree_util.tree_leaves(g_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_lm_tensor_parallel_matches_single_device():
+    """Megatron-TP shardings on the BERT slice (qkv/fc1 column-sharded,
+    out/fc2 row-sharded over mp): one sharded train step of a bert model
+    equals the single-device step, and the kernels really are sharded."""
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import PartitionSpec as P
+    from legommenders_tpu.data.pipeline import TrainBatcher
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.parallel.mesh import make_mesh, params_shardings
+    from legommenders_tpu.parallel.train import make_sharded_train_step
+    from legommenders_tpu.runtime.manager import Manager
+    from legommenders_tpu.runtime.steps import init_params, make_train_step
+
+    data = SyntheticProcessor(num_items=40, num_users=20, title_len=6,
+                              history_len=4, inters_per_user=8
+                              ).as_lego_data()
+    cfg = {"meta": {"item": "Bert", "user": "Ada", "predictor": "Dot"},
+           "config": {"use_item_content": True, "hidden_size": 16,
+                      "embedding_dim": 32, "use_neg_sampling": True,
+                      "neg_count": 2,
+                      "item_config": {"tune_from": None,
+                                      "num_hidden_layers": 2,
+                                      "num_attention_heads": 2,
+                                      "use_lora": False,
+                                      "lm_dtype": jnp.float32}}}
+    m = Manager({}, cfg, exp_cfg={"policy": {"batch_size": 8}}, data=data)
+    batch = {k: jnp.asarray(v) for k, v in
+             next(TrainBatcher(data, 8, neg_count=2, seed=0).epoch()).items()}
+    params = init_params(m.model, batch, m.contents.columns, seed=0)
+    opt = optax.adam(1e-3)
+
+    step1 = make_train_step(m.model, m.contents.columns, opt, donate=False)
+    p1, _, loss1 = step1(params, opt.init(params), batch,
+                         jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_dp=2, n_mp=2, devices=jax.devices()[:4])
+    # the TP rule must actually fire on the attention/FFN kernels
+    specs = params_shardings(params, mesh)
+    flat = {jax.tree_util.keystr(k): s.spec for k, s in
+            jax.tree_util.tree_leaves_with_path(specs)}
+    qspec = [s for k, s in flat.items()
+             if "query" in k and k.endswith("['kernel']")]
+    ospec = [s for k, s in flat.items()
+             if "attention']['output" in k and k.endswith("['kernel']")]
+    assert qspec and all(s == P(None, "mp") for s in qspec), qspec
+    assert ospec and all(s == P("mp", None) for s in ospec), ospec
+
+    step8, place = make_sharded_train_step(
+        m.model, m.contents.columns, opt, mesh, min_rows_to_shard=2)
+    with mesh:
+        p, o, b = place(params, opt.init(params), batch)
+        p8, _, loss8 = step8(p, o, b, jax.random.PRNGKey(0))
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-4)
+    f1 = jax.tree_util.tree_leaves_with_path(p1)
+    f8 = dict(jax.tree_util.tree_leaves_with_path(jax.device_get(p8)))
+    for k, a in f1:
+        ks = jax.tree_util.keystr(k)
+        if "['key']['bias']" in ks:
+            # softmax is invariant to a constant shift of all key scores,
+            # so the key bias has an exactly-zero mathematical gradient;
+            # adam then amplifies f32 reduction noise to ~lr, and the
+            # noise sign legitimately differs between partitionings
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(f8[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=ks)
