@@ -28,9 +28,21 @@ class TesterCLI(BaseLego):
             self.log.info("no --load_sign given: evaluating fresh params")
 
         tester = Tester(m, params, log=self.log)
-        if self.cli.get("latency"):
-            tester.latency(int(self.cli.get("num_batches", 100)))
-        results = tester.test()
+        trace_dir = self.cli.get("trace")
+        if trace_dir:
+            # xprof/tensorboard-viewable device trace of the eval pass —
+            # the TPU-native upgrade of the reference's latency timer
+            # (SURVEY §5 tracing/profiling)
+            import jax
+            with jax.profiler.trace(str(trace_dir)):
+                if self.cli.get("latency"):
+                    tester.latency(int(self.cli.get("num_batches", 100)))
+                results = tester.test()
+            self.log.info(f"profiler trace written to {trace_dir}")
+        else:
+            if self.cli.get("latency"):
+                tester.latency(int(self.cli.get("num_batches", 100)))
+            results = tester.test()
         with open(self.ph.result_path, "w") as f:
             f.write(",".join(results.keys()) + "\n")
             f.write(",".join(f"{v:.6f}" for v in results.values()) + "\n")
