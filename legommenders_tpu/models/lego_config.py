@@ -19,6 +19,12 @@ from legommenders_tpu.models.item_table import ItemContentTable
 from legommenders_tpu.models.legommender import Legommender
 from legommenders_tpu.utils.function import combine_config
 from legommenders_tpu.utils.registry import OPERATORS, PREDICTORS
+
+_DTYPE_NAMES = {
+    "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+    "f32": jnp.float32, "float32": jnp.float32,
+    "f16": jnp.float16, "float16": jnp.float16,
+}
 # populate the registries (decorator side effects)
 import legommenders_tpu.models.operators  # noqa: F401
 import legommenders_tpu.models.predictors  # noqa: F401
@@ -139,6 +145,10 @@ class LegoConfig:
                     if k in item_op_cls.__dataclass_fields__}
             if "num_cols" in item_op_cls.__dataclass_fields__:
                 icfg["num_cols"] = len(item_cols)
+            # YAML configs express dtypes as strings ("bf16"); flax module
+            # fields want jnp dtypes
+            if isinstance(icfg.get("lm_dtype"), str):
+                icfg["lm_dtype"] = _DTYPE_NAMES[icfg["lm_dtype"].lower()]
             item_op = item_op_cls(dtype=self.dtype, **icfg)
             inputer_cfg = dict(self.item_config.get("inputer_config") or {})
             inputer_cfg = {k: v for k, v in inputer_cfg.items()
