@@ -97,3 +97,37 @@ def test_transfer_cli(synth_dir, tmp_path):
     missing = set(vocab.tokens) - set(src_ids)
     mrow = vocab.tokens.index(next(iter(missing)))
     assert not mat[mrow].any()
+
+
+def test_worker_cli_ledger_dedup(synth_dir, tmp_path):
+    """worker.py replicates a job over seeds, runs trainer subprocesses,
+    records a JSONL ledger, and skips completed (command, seed) pairs on
+    re-run (reference worker.py:57-270; server ledger covered by
+    test_server.py)."""
+    cwd = str(tmp_path)
+    # worker resolves trainer.py/config relative to cwd
+    for name in ("trainer.py", "worker.py", "config"):
+        os.symlink(os.path.join(REPO, name), os.path.join(cwd, name))
+    job = (f"--data synthetic --model naml --data_dir {synth_dir} "
+           "--epoch 1 --epoch_batch 2 --batch_size 8 --hidden_size 16 "
+           "--simple_dev 1")
+    with open(os.path.join(cwd, "jobs.txt"), "w") as f:
+        f.write("# one job, two seeds\n" + job + "\n")
+
+    env = {**ENV, "PYTHONPATH": REPO}
+    out = subprocess.run(
+        [sys.executable, "worker.py", "--jobs", "jobs.txt",
+         "--replicate", "2"],
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=900)
+    assert out.returncode == 0, out.stderr[-3000:]
+    ledger = os.path.join(cwd, "checkpoints", "worker_ledger.jsonl")
+    assert os.path.isfile(ledger)
+    rows = [__import__("json").loads(l) for l in open(ledger)]
+    assert len(rows) == 2 and all(r["status"] == "done" for r in rows), rows
+
+    out2 = subprocess.run(
+        [sys.executable, "worker.py", "--jobs", "jobs.txt",
+         "--replicate", "2"],
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=300)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert out2.stdout.count("skip (local ledger)") == 2, out2.stdout
