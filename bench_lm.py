@@ -51,11 +51,15 @@ def main(argv):
     else:
         num_items = int(cli.get("num_items") or 65536)
         title_len, hist_len = 30, 50
-        batch_size = int(cli.get("batch_size") or 512)
+        # batch sweep on the v5e (catalog-encode cost is fixed per step at
+        # B >= ~1.2k where `auto` flips to the catalog pass): 260 impr/s @
+        # 512 (per-occurrence), 595 @ 2048, 1190 @ 4096, 4738 @ 16384 —
+        # step time pinned at ~3.45s by the 65k-item encode throughout
+        batch_size = int(cli.get("batch_size") or 16384)
         tune_from = int(cli.get("tune_from") or 10)
         n_layers, d_model, n_heads = 12, 768, 12
-        page_size = int(cli.get("item_page_size") or 8192)
-        n_steps = int(cli.get("steps") or 30)
+        page_size = int(cli.get("item_page_size") or 4096)
+        n_steps = int(cli.get("steps") or 10)
     neg_count = 4
     K = neg_count + 1
 
