@@ -54,7 +54,9 @@ def main(argv):
         # batch sweep on the v5e (catalog-encode cost is fixed per step at
         # B >= ~1.2k where `auto` flips to the catalog pass): 260 impr/s @
         # 512 (per-occurrence), 595 @ 2048, 1190 @ 4096, 4738 @ 16384 —
-        # step time pinned at ~3.45s by the 65k-item encode throughout
+        # step time pinned at ~3.45s by the 65k-item encode throughout.
+        # tanh-gelu + attention packing (tools/lm_ablate.py) cut the encode
+        # to 2.90s: 5649 impr/s @ 16384, 30.5% trainable-slice MFU
         batch_size = int(cli.get("batch_size") or 16384)
         tune_from = int(cli.get("tune_from") or 10)
         n_layers, d_model, n_heads = 12, 768, 12
@@ -86,6 +88,10 @@ def main(argv):
                 "num_hidden_layers": n_layers,
                 "num_attention_heads": n_heads,
                 "additive_hidden_size": 256,
+                # tanh-gelu: erf on the 4D intermediate costs as much as
+                # the GEMMs (tools/lm_ablate.py); ~1e-3 output delta
+                "gelu_approximate":
+                    bool(int(cli.get("gelu_approximate") or 1)),
             },
         },
     }

@@ -144,6 +144,51 @@ def _pipelined_stack(mdl, layer_module, x, mask_bias, training: bool,
     return out[0]
 
 
+def pack_group_size(L: int, requested: int) -> int:
+    """Resolve the attention-pack group size: `requested` < 0 = auto
+    (as many L-token items as fit a 128-lane MXU tile), 0/1 = off."""
+    if requested < 0:
+        return max(1, 128 // max(L, 1))
+    return max(1, requested)
+
+
+def pack_items(x, mask, group: int):
+    """(B, L, D) -> (ceil(B/G), G*L, D): G items share one attention call.
+
+    News-rec item encodes run attention at tiny L (~31 tokens): the
+    (L, L) score/AV matmuls pad L to 128 MXU lanes, wasting ~4x of the
+    attention-core FLOPs (tools/lm_ablate.py measured the core at ~0.7%
+    MXU efficiency). Packing G = 128//L items into one sequence with a
+    block-diagonal mask makes the matmul dims ~G*L ~ 124. No reference
+    counterpart (torch SDPA on GPU has no such tile constraint)."""
+    B, L = mask.shape
+    pad = (-B) % group
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        # pad rows get one valid token: an all-masked row is an all -inf
+        # softmax row -> NaN, and 0-cotangent x NaN-jacobian would poison
+        # the weight grads even though the rows are sliced away
+        pad_mask = jnp.zeros((pad, L), mask.dtype).at[:, 0].set(1)
+        mask = jnp.concatenate([mask, pad_mask], axis=0)
+    Bp = x.shape[0] // group
+    return (x.reshape(Bp, group * L, x.shape[-1]),
+            mask.reshape(Bp, group * L), pad)
+
+
+def packed_mask_bias(mask_p, L: int, dtype, causal: bool = False):
+    """Block-diagonal attention bias for packed sequences: token i may
+    attend j only within the same L-token block, j valid (and j <= i when
+    causal). mask_p: (Bp, G*L)."""
+    GL = mask_p.shape[1]
+    blk = jnp.arange(GL) // L
+    same = blk[:, None] == blk[None, :]
+    if causal:
+        same = same & (jnp.arange(GL)[:, None] >= jnp.arange(GL)[None, :])
+    allowed = same[None, None] & mask_p.astype(bool)[:, None, None, :]
+    return jnp.where(allowed, 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # BERT
 # ---------------------------------------------------------------------------
@@ -190,6 +235,11 @@ class BertLayer(nn.Module):
     freeze_base: bool = False
     dropout: float = 0.1
     intermediate_mult: int = 4
+    # HF BERT uses exact-erf gelu; the erf transcendental on the (tokens,
+    # 4D) bf16 intermediate is VPU-bound and costs as much as all the
+    # layer's GEMMs on v5e (tools/lm_ablate.py). approximate=True switches
+    # to the tanh form (~1e-3 max output delta) for speed.
+    gelu_approximate: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -205,7 +255,7 @@ class BertLayer(nn.Module):
                                 name="attention_norm")(x + attn)
         inter = _frozen_dense(D * self.intermediate_mult, self.freeze_base,
                               self.dtype, "intermediate")(x, training)
-        inter = nn.gelu(inter, approximate=False)
+        inter = nn.gelu(inter, approximate=self.gelu_approximate)
         out = _frozen_dense(D, self.freeze_base, self.dtype,
                             "ffn_output")(inter, training)
         out = nn.Dropout(self.dropout)(out, deterministic=not training)
@@ -233,6 +283,10 @@ class BertEncoderSlice(nn.Module):
     lora_dropout: float = 0.0
     freeze_base: bool = False
     dropout: float = 0.1
+    gelu_approximate: bool = False
+    # pack G = 128//L items into one block-diag attention call so the
+    # (L, L) score/AV matmuls fill MXU lanes (-1 auto, 0/1 off)
+    attention_pack: int = 0
     pipeline_stages: int = 0      # >1: stage layers over the ambient pp mesh
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.float32
@@ -264,19 +318,29 @@ class BertEncoderSlice(nn.Module):
             layer_mod = BertLayer(self.num_heads, self.lora_r,
                                   self.lora_alpha, self.lora_dropout,
                                   self.freeze_base, self.dropout,
+                                  gelu_approximate=self.gelu_approximate,
                                   dtype=self.dtype)
             return _pipelined_stack(self, layer_mod, x, mask_bias,
                                     training, pp_mesh)
+        G = pack_group_size(L, self.attention_pack) \
+            if self.attention_pack else 1
+        if G > 1:
+            x, mask_p, _pad = pack_items(x, mask, G)
+            mask_bias = packed_mask_bias(mask_p, L, self.dtype)
         pooled = []
         m = mask.astype(self.dtype)[:, :, None]
         denom = jnp.maximum(m.sum(axis=1), 1.0)
         for i in range(self.start, self.start + self.num_layers):
             x = BertLayer(self.num_heads, self.lora_r, self.lora_alpha,
                           self.lora_dropout, self.freeze_base, self.dropout,
+                          gelu_approximate=self.gelu_approximate,
                           dtype=self.dtype, name=f"layer_{i}")(
                 x, mask_bias, training)
             if self.collect_pooled:
-                pooled.append((x * m).sum(axis=1) / denom)
+                xi = x.reshape(-1, L, D)[:B] if G > 1 else x
+                pooled.append((xi * m).sum(axis=1) / denom)
+        if G > 1:
+            x = x.reshape(-1, L, D)[:B]
         if self.collect_pooled:
             return jnp.stack(pooled, axis=1)  # (B, num_layers, D)
         return x
@@ -358,6 +422,9 @@ class LlamaDecoderLayer(nn.Module):
     qkv_bias: bool = False
     rotary_fraction: float = 1.0
     rotary_interleaved: bool = False
+    # >0: positions restart every `rotary_period` tokens (attention
+    # packing — each packed item keeps its original absolute positions)
+    rotary_period: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -367,6 +434,7 @@ class LlamaDecoderLayer(nn.Module):
         KV = self.num_kv_heads or H
         d = D // H
         inter = self.intermediate_size or int(D * 8 / 3)
+        L_tab = self.rotary_period or L
 
         h = RMSNorm(freeze=self.freeze_base, dtype=self.dtype, name="input_norm")(x)
         q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
@@ -385,11 +453,18 @@ class LlamaDecoderLayer(nn.Module):
         if self.rotary_interleaved or self.rotary_fraction < 1.0:
             rot = int(d * self.rotary_fraction) // 2 * 2
             cos, sin = rotary_interleaved_embedding(
-                L, rot, self.rope_theta, self.dtype)
+                L_tab, rot, self.rope_theta, self.dtype)
+            if L_tab != L:
+                cos = jnp.tile(cos, (L // L_tab, 1))
+                sin = jnp.tile(sin, (L // L_tab, 1))
             q = apply_rotary_partial_interleaved(q, cos, sin)
             k = apply_rotary_partial_interleaved(k, cos, sin)
         else:
-            cos, sin = rotary_embedding(L, d, self.rope_theta, self.dtype)
+            cos, sin = rotary_embedding(L_tab, d, self.rope_theta,
+                                        self.dtype)
+            if L_tab != L:
+                cos = jnp.tile(cos, (L // L_tab, 1))
+                sin = jnp.tile(sin, (L // L_tab, 1))
             q = apply_rotary(q, cos, sin)
             k = apply_rotary(k, cos, sin)
         if KV != H:  # grouped-query attention
@@ -434,6 +509,7 @@ class LlamaDecoderSlice(nn.Module):
     qkv_bias: bool = False
     rotary_fraction: float = 1.0
     rotary_interleaved: bool = False
+    attention_pack: int = 0    # -1 auto: pack 128//L items per attn call
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
@@ -464,6 +540,11 @@ class LlamaDecoderSlice(nn.Module):
                 x = RMSNorm(freeze=self.freeze_base, dtype=self.dtype,
                             name="final_norm")(x)
             return x
+        G = pack_group_size(L, self.attention_pack) \
+            if self.attention_pack else 1
+        if G > 1:
+            x, mask_p, _pad = pack_items(x, mask, G)
+            mask_bias = packed_mask_bias(mask_p, L, self.dtype, causal=True)
         pooled = []
         m = mask.astype(self.dtype)[:, :, None]
         denom = jnp.maximum(m.sum(axis=1), 1.0)
@@ -475,10 +556,14 @@ class LlamaDecoderSlice(nn.Module):
                 qkv_bias=self.qkv_bias,
                 rotary_fraction=self.rotary_fraction,
                 rotary_interleaved=self.rotary_interleaved,
+                rotary_period=L if G > 1 else 0,
                 dtype=self.dtype,
                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:
-                pooled.append((x * m).sum(axis=1) / denom)
+                xi = x.reshape(-1, L, D)[:B] if G > 1 else x
+                pooled.append((xi * m).sum(axis=1) / denom)
+        if G > 1:
+            x = x.reshape(-1, L, D)[:B]
         if self.collect_pooled:
             return jnp.stack(pooled, axis=1)
         if self.final_norm:
@@ -541,6 +626,7 @@ class OPTDecoderSlice(nn.Module):
     lora_alpha: int = 16
     lora_dropout: float = 0.0
     freeze_base: bool = False
+    attention_pack: int = 0    # -1 auto: pack 128//L items per attn call
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
@@ -580,6 +666,11 @@ class OPTDecoderSlice(nn.Module):
                     epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype,
                     name="final_norm")(x)
             return x
+        G = pack_group_size(L, self.attention_pack) \
+            if self.attention_pack else 1
+        if G > 1:
+            x, mask_p, _pad = pack_items(x, mask, G)
+            mask_bias = packed_mask_bias(mask_p, L, self.dtype, causal=True)
         pooled = []
         m = mask.astype(self.dtype)[:, :, None]
         denom = jnp.maximum(m.sum(axis=1), 1.0)
@@ -589,7 +680,10 @@ class OPTDecoderSlice(nn.Module):
                                 self.freeze_base, dtype=self.dtype,
                                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:
-                pooled.append((x * m).sum(axis=1) / denom)
+                xi = x.reshape(-1, L, D)[:B] if G > 1 else x
+                pooled.append((xi * m).sum(axis=1) / denom)
+        if G > 1:
+            x = x.reshape(-1, L, D)[:B]
         if self.collect_pooled:
             return jnp.stack(pooled, axis=1)
         if self.final_norm:

@@ -125,11 +125,21 @@ class BertOperator(LMOperator):
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
     hf_family: str = "bert"
+    # tanh-gelu instead of HF's exact erf (~1e-3 output delta): the erf on
+    # the (tokens, 4D) bf16 intermediate is VPU-transcendental-bound and
+    # costs as much as the layer's GEMMs on v5e (tools/lm_ablate.py)
+    gelu_approximate: bool = False
+    # pack 128//L items per attention call (block-diag mask) so the tiny
+    # (L, L) matmuls fill MXU lanes; exact math, only reduction order
+    # differs. -1 auto (default), 0 off
+    attention_pack: int = -1
 
     def make_slice(self, start, num_layers, trainable, name="lm", **extra):
         return BertEncoderSlice(
             num_layers=num_layers, num_heads=self.num_attention_heads,
             start=start, embed=(start == 0), max_position=self.max_position,
+            gelu_approximate=self.gelu_approximate,
+            attention_pack=self.attention_pack,
             dtype=self.lm_dtype, name=name,
             **self._lora_kwargs(trainable), **extra)
 
@@ -159,6 +169,7 @@ class LlamaOperator(LMOperator):
     qkv_bias: bool = False
     rotary_fraction: float = 1.0
     rotary_interleaved: bool = False
+    attention_pack: int = -1   # pack 128//L items per attn call; 0 off
 
     def make_slice(self, start, num_layers, trainable, name="lm", **extra):
         return LlamaDecoderSlice(
@@ -168,6 +179,7 @@ class LlamaOperator(LMOperator):
             final_norm=trainable, rope_theta=self.rope_theta,
             qkv_bias=self.qkv_bias, rotary_fraction=self.rotary_fraction,
             rotary_interleaved=self.rotary_interleaved,
+            attention_pack=self.attention_pack,
             dtype=self.lm_dtype, name=name,
             **self._lora_kwargs(trainable), **extra)
 
@@ -195,13 +207,16 @@ class OPTOperator(LMOperator):
     ffn_dim: Optional[int] = None
     max_position: int = 2048
     lm_dtype: jnp.dtype = jnp.bfloat16
+    attention_pack: int = -1   # pack 128//L items per attn call; 0 off
 
     def make_slice(self, start, num_layers, trainable, name="lm", **extra):
         return OPTDecoderSlice(
             num_layers=num_layers, num_heads=self.num_attention_heads,
             ffn_dim=self.ffn_dim, start=start,
             embed_positions=(start == 0), final_norm=trainable,
-            max_position=self.max_position, dtype=self.lm_dtype, name=name,
+            max_position=self.max_position,
+            attention_pack=self.attention_pack,
+            dtype=self.lm_dtype, name=name,
             **self._lora_kwargs(trainable), **extra)
 
 

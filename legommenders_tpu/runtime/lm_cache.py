@@ -31,14 +31,18 @@ def cache_dir(data_name: str, operator_name: str, root: str = "cache") -> str:
     return os.path.join(root, data_name, operator_name)
 
 
-def weights_fingerprint(params, subtree=("params", "item_op")) -> str:
+def weights_fingerprint(params, subtree=("params", "item_op"),
+                        extra: str = "") -> str:
     """Short digest of the item operator's param values (samples each leaf's
-    first bytes — enough to distinguish inits/checkpoints cheaply)."""
+    first bytes — enough to distinguish inits/checkpoints cheaply).
+    `extra` folds in arch knobs that change the lower slice's OUTPUT with
+    identical weights (e.g. gelu_approximate)."""
     node = params
     for key in subtree:
         if isinstance(node, dict) and key in node:
             node = node[key]
     h = hashlib.md5()
+    h.update(extra.encode())
     for path, leaf in sorted(
             jax.tree_util.tree_leaves_with_path(node),
             key=lambda kv: str(kv[0])):
@@ -46,6 +50,12 @@ def weights_fingerprint(params, subtree=("params", "item_op")) -> str:
         h.update(str(path).encode())
         h.update(arr[:8].tobytes())
     return h.hexdigest()[:10]
+
+
+def arch_key(op) -> str:
+    """Output-affecting arch knobs of the item operator not captured by its
+    weights."""
+    return f"gelu_approx={bool(getattr(op, 'gelu_approximate', False))}"
 
 
 def scrub_nans(hidden: np.ndarray, mask: Optional[np.ndarray] = None,
@@ -104,7 +114,7 @@ def load_or_build_lm_cache(model, params, contents, data_name: str,
     (the on-disk cache stays f32): bf16 halves HBM for the (N, L, D)
     catalog cache — 6GB -> 3GB at MIND scale with BERT-base — and the
     upper slice computes in its own `lm_dtype` anyway."""
-    sig = weights_fingerprint(params)
+    sig = weights_fingerprint(params, extra=arch_key(model.item_op))
     d = cache_dir(data_name, operator_name, root)
     hpath = os.path.join(d, f"layer_{layer}.{sig}.npy")
     mpath = os.path.join(d, f"mask.{sig}.npy")
@@ -132,7 +142,7 @@ def load_or_build_iisan_cache(model, params, contents, data_name: str,
     states.npy (reference iisan_operator.py:115-151); the selected-layer
     subset is registered under the lm-hidden content key with a dummy
     length-1 mask."""
-    sig = weights_fingerprint(params)
+    sig = weights_fingerprint(params, extra=arch_key(model.item_op))
     d = cache_dir(data_name, f"{operator_name}iisan", root)
     spath = os.path.join(d, f"states.{sig}.npy")
     if not regenerate and os.path.isfile(spath):

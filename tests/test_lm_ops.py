@@ -245,3 +245,88 @@ def test_glm_geometry_and_checkpoint_mapping(synth):
     s2 = m.model.apply(merged, batch, m.contents.columns, training=False)
     assert np.isfinite(np.asarray(s2)).all()
     assert not np.allclose(np.asarray(scores), np.asarray(s2))
+
+
+def test_gelu_approximate_knob():
+    """tanh-gelu knob: same params apply, small output delta vs exact erf,
+    and the lm-cache fingerprint distinguishes the two variants."""
+    from legommenders_tpu.models.lm.layers import BertEncoderSlice
+    from legommenders_tpu.models.operators.lm_ops import BertOperator
+    from legommenders_tpu.runtime.lm_cache import (
+        arch_key, weights_fingerprint)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5, 32)),
+                    jnp.float32)
+    mask = jnp.ones((2, 5), jnp.int32)
+    exact = BertEncoderSlice(num_layers=1, num_heads=2, embed=False)
+    approx = exact.clone(gelu_approximate=True)
+    params = exact.init(jax.random.PRNGKey(0), x, mask, False)
+    y0 = exact.apply(params, x, mask, False)
+    y1 = approx.apply(params, x, mask, False)
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+    assert float(jnp.max(jnp.abs(y0 - y1))) < 1e-2
+
+    op0 = BertOperator(hidden_size=16, input_dim=32, num_hidden_layers=1,
+                       num_attention_heads=2)
+    op1 = op0.clone(gelu_approximate=True)
+    assert arch_key(op0) != arch_key(op1)
+    p = {"params": {"item_op": params["params"]}}
+    assert (weights_fingerprint(p, extra=arch_key(op0))
+            != weights_fingerprint(p, extra=arch_key(op1)))
+
+
+def test_attention_pack_parity():
+    """Packed block-diag attention == unpacked per-item attention (exact
+    zeros from masked lanes), incl. ragged masks and B % G != 0."""
+    from legommenders_tpu.models.lm.layers import BertEncoderSlice
+
+    rng = np.random.default_rng(1)
+    B, L, D = 7, 9, 32
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    lens = rng.integers(1, L + 1, B)
+    mask = jnp.asarray((np.arange(L)[None] < lens[:, None]).astype(np.int32))
+    base = BertEncoderSlice(num_layers=2, num_heads=2, embed=True,
+                            dropout=0.0)
+    packed = base.clone(attention_pack=-1)
+    params = base.init(jax.random.PRNGKey(0), x, mask, False)
+    y0 = base.apply(params, x, mask, False)
+    y1 = packed.apply(params, x, mask, False)
+    assert y1.shape == y0.shape
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+    # IISAN pooled collection under packing
+    pooled0 = base.clone(collect_pooled=True).apply(params, x, mask, False)
+    pooled1 = packed.clone(collect_pooled=True).apply(params, x, mask, False)
+    np.testing.assert_allclose(np.asarray(pooled0), np.asarray(pooled1),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("family", ["llama", "glm", "opt"])
+def test_attention_pack_parity_causal(family):
+    """Packed causal attention == unpacked, incl. per-item rotary restart
+    (plain + GLM partial-interleaved geometry)."""
+    from legommenders_tpu.models.lm.layers import (
+        LlamaDecoderSlice, OPTDecoderSlice)
+
+    rng = np.random.default_rng(2)
+    B, L, D = 7, 9, 32
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    lens = rng.integers(1, L + 1, B)
+    mask = jnp.asarray((np.arange(L)[None] < lens[:, None]).astype(np.int32))
+    if family == "llama":
+        base = LlamaDecoderSlice(num_layers=2, num_heads=2,
+                                 dtype=jnp.float32)
+    elif family == "glm":
+        base = LlamaDecoderSlice(num_layers=2, num_heads=4, num_kv_heads=2,
+                                 qkv_bias=True, rotary_fraction=0.5,
+                                 rotary_interleaved=True, dtype=jnp.float32)
+    else:
+        base = OPTDecoderSlice(num_layers=2, num_heads=2,
+                               embed_positions=False, dtype=jnp.float32)
+    packed = base.clone(attention_pack=-1)
+    params = base.init(jax.random.PRNGKey(0), x, mask, False)
+    y0 = base.apply(params, x, mask, False)
+    y1 = packed.apply(params, x, mask, False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-5, atol=2e-5)

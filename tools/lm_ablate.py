@@ -73,11 +73,20 @@ def main(argv):
     print(f"gemm-floor   {t_floor*1e3:8.2f} ms  "
           f"{flops/t_floor/1e12:6.1f} TFLOP/s")
 
-    def make(lora, dropout):
+    big = jnp.asarray(rng.standard_normal((M, 4 * D)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    for nm, f in [("gelu-erf", lambda t: jax.nn.gelu(t, approximate=False)),
+                  ("gelu-tanh", lambda t: jax.nn.gelu(t, approximate=True)),
+                  ("gelu-sig", lambda t: t * jax.nn.sigmoid(1.702 * t))]:
+        jf = jax.jit(f)
+        print(f"{nm:12s} {timeit(jf, big)*1e3:8.2f} ms  (x2 layers/step)")
+
+    def make(lora, dropout, approx=False, pack=0):
         return BertEncoderSlice(
             num_layers=2, num_heads=H, start=10, embed=False,
             dropout=dropout, lora_r=32 if lora else 0,
             lora_dropout=0.1 if lora else 0.0, freeze_base=lora,
+            gelu_approximate=approx, attention_pack=pack,
             dtype=jnp.bfloat16)
 
     sl = make(False, 0.0)
@@ -97,6 +106,23 @@ def main(argv):
     f_lora = jax.jit(lambda p, x: sl_l.apply(
         p, x, mask, True, rngs={"dropout": key}))
     print(f"slice-lora   {timeit(f_lora, params_l, x)*1e3:8.2f} ms")
+
+    sl_a = make(True, 0.1, approx=True)
+    f_ap = jax.jit(lambda p, x: sl_a.apply(
+        p, x, mask, True, rngs={"dropout": key}))
+    print(f"slice-tanh   {timeit(f_ap, params_l, x)*1e3:8.2f} ms")
+
+    sl_p = make(True, 0.1, approx=True, pack=-1)
+    f_pk = jax.jit(lambda p, x: sl_p.apply(
+        p, x, mask, True, rngs={"dropout": key}))
+    print(f"slice-packed {timeit(f_pk, params_l, x)*1e3:8.2f} ms")
+
+    def loss_p(p, x):
+        return jnp.sum(sl_p.apply(p, x, mask, True,
+                                  rngs={"dropout": key}).astype(jnp.float32))
+    gp = jax.jit(jax.value_and_grad(loss_p))
+    gpt = timeit(lambda p, xx: gp(p, xx)[0], params_l, x)
+    print(f"grad-packed  {gpt*1e3:8.2f} ms")
 
     def loss(p, x):
         return jnp.sum(sl_l.apply(p, x, mask, True,
