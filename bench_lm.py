@@ -80,6 +80,7 @@ def main(argv):
             "use_neg_sampling": True, "neg_count": neg_count,
             "full_catalog_encode": "auto",
             "item_page_size": page_size,
+            "item_page_remat": str(cli.get("remat") or "full"),
             "cache_page_size": 2048 if not smoke else 64,
             "use_fast_eval": False,
             "item_config": {

@@ -44,6 +44,7 @@ class LegoConfig:
     use_item_content: bool = True
     use_fast_eval: bool = True
     item_page_size: int = 0
+    item_page_remat: str = "full"   # "full" | "dots" | "none"
     full_catalog_encode: str = "auto"
     cache_page_size: int = 512
     item_config: dict = field(default_factory=dict)
@@ -71,6 +72,7 @@ class LegoConfig:
             use_item_content=bool(cfg.get("use_item_content", True)),
             use_fast_eval=bool(cfg.get("use_fast_eval", True)),
             item_page_size=int(cfg.get("item_page_size") or 0),
+            item_page_remat=str(cfg.get("item_page_remat", "full")),
             full_catalog_encode=str(cfg.get("full_catalog_encode", "auto")),
             cache_page_size=int(cfg.get("cache_page_size", 512)),
             item_config=dict(cfg.get("item_config") or {}),
@@ -256,6 +258,7 @@ class LegoConfig:
             user_batch_cols=user_batch_cols,
             item_id_vocab=item_id_vocab,
             item_page_size=int(self.item_page_size or 0),
+            item_page_remat=self.item_page_remat,
             full_catalog_encode=self.full_catalog_encode,
             catalog_plans=catalog_plans,
             dtype=self.dtype,

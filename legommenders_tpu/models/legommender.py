@@ -54,6 +54,14 @@ class Legommender(nn.Module):
     # bound on flattened occurrences per item-op pass; 0 = no paging
     # (reference lego_config.py:114-115, legommender.py:174-190)
     item_page_size: int = 0
+    # backward policy for the paged scan: "full" rematerializes each page
+    # (lowest memory, ~33% recompute), "dots" saves matmul outputs and
+    # recomputes only elementwise ops (jax dots_saveable), "none" saves
+    # every page's activations (fastest, highest memory). NB: the scan
+    # stacks saved residuals across ALL pages, so "dots"/"none" memory is
+    # independent of page size — at bench_lm scale (16 pages x 4096x31
+    # BERT-base tokens) "dots" wants 78GB HBM; they are small-model knobs
+    item_page_remat: str = "full"
     # "auto": encode the WHOLE catalog once per step and gather when that
     # is cheaper than encoding B·(K+S) occurrences — a TPU-first win with
     # no reference counterpart (identical gradients: unused rows get zero
@@ -161,8 +169,17 @@ class Legommender(nn.Module):
             return carry, mdl._encode_flat(page, training=training,
                                            catalog=False)
 
+        import jax
+        if self.item_page_remat == "none":
+            wrapped = body
+        elif self.item_page_remat == "dots":
+            wrapped = nn.remat(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.dots_saveable)
+        else:
+            wrapped = nn.remat(body, prevent_cse=False)
         _, ys = nn.scan(
-            nn.remat(body, prevent_cse=False),
+            wrapped,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=0, out_axes=0,

@@ -234,6 +234,8 @@ class BertLayer(nn.Module):
     lora_dropout: float = 0.0
     freeze_base: bool = False
     dropout: float = 0.1
+    # HF attention_probs_dropout_prob; None = same as `dropout`
+    attn_dropout: Optional[float] = None
     intermediate_mult: int = 4
     # HF BERT uses exact-erf gelu; the erf transcendental on the (tokens,
     # 4D) bf16 intermediate is VPU-bound and costs as much as all the
@@ -245,9 +247,11 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask_bias, training: bool = False):
         D = x.shape[-1]
+        attn_p = self.dropout if self.attn_dropout is None \
+            else self.attn_dropout
         attn = BertSelfAttention(
             self.num_heads, self.lora_r, self.lora_alpha, self.lora_dropout,
-            self.freeze_base, self.dropout, self.dtype,
+            self.freeze_base, attn_p, self.dtype,
             name="attention")(x, mask_bias, training)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
         x = FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
@@ -283,6 +287,7 @@ class BertEncoderSlice(nn.Module):
     lora_dropout: float = 0.0
     freeze_base: bool = False
     dropout: float = 0.1
+    attn_dropout: Optional[float] = None  # None = same as `dropout`
     gelu_approximate: bool = False
     # pack G = 128//L items into one block-diag attention call so the
     # (L, L) score/AV matmuls fill MXU lanes (-1 auto, 0/1 off)
@@ -318,6 +323,7 @@ class BertEncoderSlice(nn.Module):
             layer_mod = BertLayer(self.num_heads, self.lora_r,
                                   self.lora_alpha, self.lora_dropout,
                                   self.freeze_base, self.dropout,
+                                  attn_dropout=self.attn_dropout,
                                   gelu_approximate=self.gelu_approximate,
                                   dtype=self.dtype)
             return _pipelined_stack(self, layer_mod, x, mask_bias,
@@ -333,6 +339,7 @@ class BertEncoderSlice(nn.Module):
         for i in range(self.start, self.start + self.num_layers):
             x = BertLayer(self.num_heads, self.lora_r, self.lora_alpha,
                           self.lora_dropout, self.freeze_base, self.dropout,
+                          attn_dropout=self.attn_dropout,
                           gelu_approximate=self.gelu_approximate,
                           dtype=self.dtype, name=f"layer_{i}")(
                 x, mask_bias, training)

@@ -97,3 +97,25 @@ def test_paged_lm_operator_trains():
     assert np.isfinite(np.asarray(s0)).all()
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_remat_policies_grad_equivalent():
+    """item_page_remat full/dots/none: identical scores and grads (the
+    policy only changes what the backward saves vs recomputes)."""
+    data = SyntheticProcessor(num_items=50, num_users=25, title_len=8,
+                              history_len=6, inters_per_user=10
+                              ).as_lego_data()
+    results = []
+    for remat in ("full", "dots", "none"):
+        cfg = LegoConfig(
+            data=data, item_operator="CNN", user_operator="Ada",
+            predictor="Dot", hidden_size=16, neg_count=2,
+            item_page_size=16, item_page_remat=remat,
+            full_catalog_encode="off", use_fast_eval=False)
+        model, contents, _ = cfg.build()
+        results.append(_grads_and_scores(model, contents, data))
+    _, s_full, g_full = results[0]
+    for _, s, g in results[1:]:
+        np.testing.assert_allclose(np.asarray(s_full), np.asarray(s),
+                                   rtol=1e-5, atol=1e-6)
+        _assert_tree_close(g_full, g)
