@@ -56,8 +56,12 @@ def main(argv):
         # 512 (per-occurrence), 595 @ 2048, 1190 @ 4096, 4738 @ 16384 —
         # step time pinned at ~3.45s by the 65k-item encode throughout.
         # tanh-gelu + attention packing (tools/lm_ablate.py) cut the encode
-        # to 2.90s: 5649 impr/s @ 16384, 30.5% trainable-slice MFU
-        batch_size = int(cli.get("batch_size") or 16384)
+        # to 2.90s: 5649 impr/s @ 16384, 30.5% trainable-slice MFU.
+        # r3: fused Pallas attention 6148 @ 16384; step stays ~2.7s while
+        # B grows (encode-bound): 12169 @ 32768, 23927 @ 65536 (1.6x the
+        # reference's NON-LM baseline). Default = the headline point;
+        # fixture build at 65536 users takes ~10 min host-side, once.
+        batch_size = int(cli.get("batch_size") or 65536)
         tune_from = int(cli.get("tune_from") or 10)
         n_layers, d_model, n_heads = 12, 768, 12
         page_size = int(cli.get("item_page_size") or 4096)
@@ -65,8 +69,10 @@ def main(argv):
     neg_count = 4
     K = neg_count + 1
 
+    # ~1.9 positive train rows per user at the fixture's click rate; the
+    # device pipeline needs >= batch_size positives for one step
     data = SyntheticProcessor(
-        num_items=num_items, num_users=max(2000, num_items // 4),
+        num_items=num_items, num_users=max(2000, num_items // 4, batch_size),
         title_len=title_len, history_len=hist_len,
         vocab_size=30000, inters_per_user=12).as_lego_data()
 
@@ -80,6 +86,9 @@ def main(argv):
             "use_neg_sampling": True, "neg_count": neg_count,
             "full_catalog_encode": "auto",
             "item_page_size": page_size,
+            # "full" is the only policy that fits: scan residuals are
+            # O(total tokens x saved intermediates), so "dots" at the 65k
+            # catalog wants 72.7G HBM (measured r3) regardless of page size
             "item_page_remat": str(cli.get("remat") or "full"),
             "cache_page_size": 2048 if not smoke else 64,
             "use_fast_eval": False,
@@ -93,6 +102,11 @@ def main(argv):
                 # the GEMMs (tools/lm_ablate.py); ~1e-3 output delta
                 "gelu_approximate":
                     bool(int(cli.get("gelu_approximate") or 1)),
+                # fused Pallas attention core (scores/probs/dropout in
+                # VMEM) — ops/pallas_attention.packed_attention. +8.8%
+                # at batch 16384 (5649 -> 6148 impr/s) on the v5e
+                "fused_attention":
+                    bool(int(cli.get("fused_attention") or 1)),
             },
         },
     }

@@ -144,6 +144,28 @@ def _pipelined_stack(mdl, layer_module, x, mask_bias, training: bool,
     return out[0]
 
 
+def _fused_attention(mdl, q, k, v, mask_bias, num_heads, attn_p,
+                     training: bool):
+    """Dispatch the attention core to the fused Pallas kernel
+    (ops/pallas_attention.packed_attention): scores/probs/dropout stay in
+    VMEM instead of materializing (B, H, T, T) tensors in HBM.
+
+    q, k, v: (B, T, D) pre-head-split (the kernel slices heads from D —
+    same contiguous layout as reshape(B, T, H, d)); mask_bias broadcasts
+    from the slice's (B, 1, T|1, T) additive form. Scaling (1/sqrt(d)) and
+    f32 softmax happen in-kernel."""
+    from legommenders_tpu.ops.pallas_attention import packed_attention
+    B, T, _ = q.shape
+    bias3 = jnp.broadcast_to(mask_bias[:, 0], (B, T, T))
+    p = float(attn_p) if training else 0.0
+    if p > 0.0:
+        seed = jax.random.bits(mdl.make_rng("dropout"), (1,),
+                               jnp.uint32).astype(jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    return packed_attention(num_heads, p, q, k, v, bias3, seed)
+
+
 def pack_group_size(L: int, requested: int) -> int:
     """Resolve the attention-pack group size: `requested` < 0 = auto
     (as many L-token items as fit a 128-lane MXU tile), 0/1 = off."""
@@ -199,6 +221,7 @@ class BertSelfAttention(nn.Module):
     lora_dropout: float = 0.0
     freeze_base: bool = False
     dropout: float = 0.1
+    fused: bool = False  # Pallas packed_attention core (T <= 128)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -214,15 +237,19 @@ class BertSelfAttention(nn.Module):
                       freeze_base=self.freeze_base, dtype=self.dtype,
                       name="value")(x, training)
         B, L = x.shape[0], x.shape[1]
-        q = q.reshape(B, L, H, d)
-        k = k.reshape(B, L, H, d)
-        v = v.reshape(B, L, H, d)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.array(d, self.dtype))
-        scores = scores + mask_bias
-        attn = nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
+        if self.fused and L <= 128 and not self.is_initializing():
+            out = _fused_attention(self, q, k, v, mask_bias, H,
+                                   self.dropout, training)
+        else:
+            q = q.reshape(B, L, H, d)
+            k = k.reshape(B, L, H, d)
+            v = v.reshape(B, L, H, d)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.array(d, self.dtype))
+            scores = scores + mask_bias
+            attn = nn.softmax(scores, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
         return _frozen_dense(D, self.freeze_base, self.dtype,
                              "output")(out, training)
 
@@ -242,6 +269,7 @@ class BertLayer(nn.Module):
     # layer's GEMMs on v5e (tools/lm_ablate.py). approximate=True switches
     # to the tanh form (~1e-3 max output delta) for speed.
     gelu_approximate: bool = False
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -251,7 +279,8 @@ class BertLayer(nn.Module):
             else self.attn_dropout
         attn = BertSelfAttention(
             self.num_heads, self.lora_r, self.lora_alpha, self.lora_dropout,
-            self.freeze_base, attn_p, self.dtype,
+            self.freeze_base, attn_p, fused=self.fused_attention,
+            dtype=self.dtype,
             name="attention")(x, mask_bias, training)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
         x = FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
@@ -292,6 +321,8 @@ class BertEncoderSlice(nn.Module):
     # pack G = 128//L items into one block-diag attention call so the
     # (L, L) score/AV matmuls fill MXU lanes (-1 auto, 0/1 off)
     attention_pack: int = 0
+    # fused Pallas attention core (scores/probs/dropout stay in VMEM)
+    fused_attention: bool = False
     pipeline_stages: int = 0      # >1: stage layers over the ambient pp mesh
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.float32
@@ -325,6 +356,7 @@ class BertEncoderSlice(nn.Module):
                                   self.freeze_base, self.dropout,
                                   attn_dropout=self.attn_dropout,
                                   gelu_approximate=self.gelu_approximate,
+                                  fused_attention=self.fused_attention,
                                   dtype=self.dtype)
             return _pipelined_stack(self, layer_mod, x, mask_bias,
                                     training, pp_mesh)
@@ -341,6 +373,7 @@ class BertEncoderSlice(nn.Module):
                           self.lora_dropout, self.freeze_base, self.dropout,
                           attn_dropout=self.attn_dropout,
                           gelu_approximate=self.gelu_approximate,
+                          fused_attention=self.fused_attention,
                           dtype=self.dtype, name=f"layer_{i}")(
                 x, mask_bias, training)
             if self.collect_pooled:
@@ -432,6 +465,7 @@ class LlamaDecoderLayer(nn.Module):
     # >0: positions restart every `rotary_period` tokens (attention
     # packing — each packed item keeps its original absolute positions)
     rotary_period: int = 0
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -478,11 +512,17 @@ class LlamaDecoderLayer(nn.Module):
             rep = H // KV
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.array(d, self.dtype))
-        scores = scores + mask_bias
-        attn = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
+        if self.fused_attention and L <= 128 and not self.is_initializing():
+            # kernel scales by 1/sqrt(D//H) = 1/sqrt(d) in-kernel
+            out = _fused_attention(
+                self, q.reshape(B, L, D), k.reshape(B, L, D),
+                v.reshape(B, L, D), mask_bias, H, 0.0, training)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.array(d, self.dtype))
+            scores = scores + mask_bias
+            attn = nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
         out = LoRADense(D, 0, use_bias=False, freeze_base=self.freeze_base,
                         dtype=self.dtype, name="o_proj")(out, training)
         x = x + out
@@ -517,6 +557,7 @@ class LlamaDecoderSlice(nn.Module):
     rotary_fraction: float = 1.0
     rotary_interleaved: bool = False
     attention_pack: int = 0    # -1 auto: pack 128//L items per attn call
+    fused_attention: bool = False
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
@@ -540,6 +581,7 @@ class LlamaDecoderSlice(nn.Module):
                 self.freeze_base, self.rope_theta, qkv_bias=self.qkv_bias,
                 rotary_fraction=self.rotary_fraction,
                 rotary_interleaved=self.rotary_interleaved,
+                fused_attention=self.fused_attention,
                 dtype=self.dtype)
             x = _pipelined_stack(self, layer_mod, x, mask_bias,
                                  training, pp_mesh)
@@ -564,6 +606,7 @@ class LlamaDecoderSlice(nn.Module):
                 rotary_fraction=self.rotary_fraction,
                 rotary_interleaved=self.rotary_interleaved,
                 rotary_period=L if G > 1 else 0,
+                fused_attention=self.fused_attention,
                 dtype=self.dtype,
                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:
@@ -588,6 +631,7 @@ class OPTDecoderLayer(nn.Module):
     lora_alpha: int = 16
     lora_dropout: float = 0.0
     freeze_base: bool = False
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -603,12 +647,17 @@ class OPTDecoderLayer(nn.Module):
         v = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
                       freeze_base=self.freeze_base, dtype=self.dtype,
                       name="v_proj")(h, training)
-        q = q.reshape(B, L, H, d) * (d ** -0.5)
-        k = k.reshape(B, L, H, d)
-        v = v.reshape(B, L, H, d)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) + mask_bias
-        attn = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
+        if self.fused_attention and L <= 128 and not self.is_initializing():
+            # pass q unscaled: the kernel applies 1/sqrt(d) itself
+            out = _fused_attention(self, q, k, v, mask_bias, H, 0.0,
+                                   training)
+        else:
+            q = q.reshape(B, L, H, d) * (d ** -0.5)
+            k = k.reshape(B, L, H, d)
+            v = v.reshape(B, L, H, d)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) + mask_bias
+            attn = nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
         out = _frozen_dense(D, self.freeze_base, self.dtype,
                             "out_proj")(out, training)
         x = x + out
@@ -634,6 +683,7 @@ class OPTDecoderSlice(nn.Module):
     lora_dropout: float = 0.0
     freeze_base: bool = False
     attention_pack: int = 0    # -1 auto: pack 128//L items per attn call
+    fused_attention: bool = False
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
@@ -665,6 +715,7 @@ class OPTDecoderSlice(nn.Module):
             layer_mod = OPTDecoderLayer(self.num_heads, self.ffn_dim,
                                         self.lora_r, self.lora_alpha,
                                         self.lora_dropout, self.freeze_base,
+                                        fused_attention=self.fused_attention,
                                         dtype=self.dtype)
             x = _pipelined_stack(self, layer_mod, x, mask_bias,
                                  training, pp_mesh)
@@ -684,7 +735,9 @@ class OPTDecoderSlice(nn.Module):
         for i in range(self.start, self.start + self.num_layers):
             x = OPTDecoderLayer(self.num_heads, self.ffn_dim, self.lora_r,
                                 self.lora_alpha, self.lora_dropout,
-                                self.freeze_base, dtype=self.dtype,
+                                self.freeze_base,
+                                fused_attention=self.fused_attention,
+                                dtype=self.dtype,
                                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:
                 xi = x.reshape(-1, L, D)[:B] if G > 1 else x

@@ -55,6 +55,10 @@ class LMOperator(BaseOperator):
     # context; lm/layers._pipelined_stack). 0/1 = off.
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
+    # fused Pallas attention core (ops/pallas_attention): (T, T) scores,
+    # probs and dropout mask stay in VMEM per (row, head) instead of
+    # materializing in HBM; requires (packed) seq len <= 128
+    fused_attention: bool = False
 
     inputer_class = ConcatInputer
     hf_family: str = ""  # "bert" | "llama" | "opt" — hf_loader mapping
@@ -91,9 +95,15 @@ class LMOperator(BaseOperator):
     # ------------------------------------------------------------------
     def setup(self):
         start = self.resolved_tune_from
+        # forward the first-class PP knobs into the slice so a YAML/CLI
+        # `item_config.pipeline_stages` actually stages the trainable stack
+        # (the offline lower slice stays serial: it runs paged, off-mesh)
+        pp = dict(pipeline_stages=self.pipeline_stages,
+                  pipeline_microbatches=self.pipeline_microbatches,
+                  fused_attention=self.fused_attention)
         self.upper_slice = self.make_slice(
             start, self.num_hidden_layers - start, trainable=True,
-            name="lm")
+            name="lm", **pp)
         if start > 0:
             self.lower_slice = self.make_slice(
                 0, start, trainable=False, name="lm_lower")

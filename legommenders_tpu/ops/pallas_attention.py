@@ -269,6 +269,40 @@ def _vjp_bwd(num_heads, dropout_p, res, g):
 packed_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def _bits_kernel(num_heads, seed_ref, out_ref):
+    """Replicates the fwd/bwd kernels' dropout draw EXACTLY (same
+    per-program seed, same b-major/h-major order) so tests can verify the
+    on-chip fwd output and bwd grads against reference_attention with the
+    recovered keep mask."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    NB_, T = out_ref.shape[0], out_ref.shape[2]
+    for b in range(NB_):
+        for h in range(num_heads):
+            out_ref[b, h] = pltpu.bitcast(pltpu.prng_random_bits((T, T)),
+                                          jnp.uint32)
+
+
+def dropout_keep_mask(num_heads, dropout_p, B, T, seed):
+    """Test/debug helper: the (B, H, T, T) keep mask the kernels draw for
+    `seed` at these shapes. Off-TPU mirrors _jnp_impl's mask instead (the
+    interpret path has no pltpu PRNG)."""
+    if _interpret():
+        # _jnp_impl draws at the caller's (unpadded) T
+        return _jnp_keep_mask(num_heads, dropout_p,
+                              (B, num_heads, T, T), seed)
+    Bp = _cdiv(B, NB) * NB
+    bits = pl.pallas_call(
+        functools.partial(_bits_kernel, num_heads),
+        grid=(Bp // NB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((NB, num_heads, T_PAD, T_PAD),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, num_heads, T_PAD, T_PAD),
+                                       jnp.uint32),
+    )(seed)
+    return (bits >= jnp.uint32(_keep_threshold(dropout_p)))[:B, :, :T, :T]
+
+
 def reference_attention(num_heads, dropout_p, q, k, v, bias, keep_mask=None):
     """jnp reference of the kernel math (f32 softmax) for parity tests;
     `keep_mask` (B, H, T, T) substitutes the in-kernel dropout draw."""

@@ -54,8 +54,13 @@ def weights_fingerprint(params, subtree=("params", "item_op"),
 
 def arch_key(op) -> str:
     """Output-affecting arch knobs of the item operator not captured by its
-    weights."""
-    return f"gelu_approx={bool(getattr(op, 'gelu_approximate', False))}"
+    weights. lm_dtype matters: the lower slice computes in it, so toggling
+    f32<->bf16 between runs changes the cached values at ~rounding scale —
+    without it in the key the fingerprint would silently reuse the other
+    precision's cache."""
+    dt = jnp.dtype(getattr(op, "lm_dtype", jnp.float32)).name
+    return (f"gelu_approx={bool(getattr(op, 'gelu_approximate', False))},"
+            f"lm_dtype={dt}")
 
 
 def scrub_nans(hidden: np.ndarray, mask: Optional[np.ndarray] = None,

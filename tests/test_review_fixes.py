@@ -191,3 +191,18 @@ def test_hf_weight_loading(tmp_path, monkeypatch):
     scores = m.model.apply(params2, batch, m.contents.columns,
                            training=False)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_arch_key_folds_lm_dtype():
+    """Round-2 advisor: lm_dtype changes the lower slice's cached outputs
+    with identical weights — the cache fingerprint must distinguish it."""
+    import jax.numpy as jnp
+    from legommenders_tpu.models.operators.lm_ops import BertOperator
+    from legommenders_tpu.runtime.lm_cache import arch_key
+
+    f32 = BertOperator(hidden_size=16, input_dim=32, num_hidden_layers=1,
+                       num_attention_heads=2, lm_dtype=jnp.float32)
+    bf16 = f32.clone(lm_dtype=jnp.bfloat16)
+    assert arch_key(f32) != arch_key(bf16)
+    assert "lm_dtype=float32" in arch_key(f32)
+    assert "lm_dtype=bfloat16" in arch_key(bf16)

@@ -117,6 +117,18 @@ def main(argv):
         p, x, mask, True, rngs={"dropout": key}))
     print(f"slice-packed {timeit(f_pk, params_l, x)*1e3:8.2f} ms")
 
+    sl_f = sl_p.clone(fused_attention=True)
+    f_fu = jax.jit(lambda p, x: sl_f.apply(
+        p, x, mask, True, rngs={"dropout": key}))
+    print(f"slice-fused  {timeit(f_fu, params_l, x)*1e3:8.2f} ms")
+
+    def loss_f(p, x):
+        return jnp.sum(sl_f.apply(p, x, mask, True,
+                                  rngs={"dropout": key}).astype(jnp.float32))
+    gf = jax.jit(jax.value_and_grad(loss_f))
+    gft = timeit(lambda p, xx: gf(p, xx)[0], params_l, x)
+    print(f"grad-fused   {gft*1e3:8.2f} ms")
+
     def loss_p(p, x):
         return jnp.sum(sl_p.apply(p, x, mask, True,
                                   rngs={"dropout": key}).astype(jnp.float32))
