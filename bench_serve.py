@@ -2,17 +2,64 @@
 
 BASELINE.md: "Cached-item scoring throughput (items scored/sec from the
 fast-eval cache)". Measures (a) full-catalog scoring — every user batch
-scored against ALL cached items (the retrieval pattern), and (b) the
+scored against ALL cached items (the retrieval pattern), (b) the
 impression-eval pattern (one candidate per row, the reference's fast-eval
-loop §3.3). Prints one JSON line per measurement.
+loop §3.3), and (c) sharded serving over a device mesh — the item cache
+stays row-sharded and each shard scores its local items
+(parallel/embed_sharded.sharded_catalog_scores). One real chip means (c)
+runs on an 8-device virtual CPU mesh: it validates parity vs the dense
+path and records the collective bytes XLA inserts (none expected on the
+fwd — scores come back item-sharded), not wall-clock. Prints one JSON
+line per measurement.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def sharded_main():
+    """Child process: 8 virtual CPU devices, sharded-serving validation."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from legommenders_tpu.parallel.embed_sharded import (
+        pad_rows_for_sharding, sharded_catalog_scores)
+    from legommenders_tpu.parallel.mesh import MP_AXIS  # noqa: F401
+
+    n_dev = len(jax.devices())
+    B, N, D = 256, 65000, 64
+    rng = np.random.default_rng(0)
+    users = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    items = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    items_p = pad_rows_for_sharding(items, n_dev)
+    mesh = Mesh(np.asarray(jax.devices()), ("mp",))
+
+    fn = jax.jit(lambda u, it: sharded_catalog_scores(u, it, mesh))
+    out = np.asarray(fn(users, items_p))[:, :N]
+    ref = np.asarray(users) @ np.asarray(items).T
+    err = float(np.max(np.abs(out - ref)))
+
+    from scaling import collective_volume
+    hlo = fn.lower(users, items_p).compile().as_text()
+    print(json.dumps({
+        "metric": "sharded_serving_validation",
+        "devices": n_dev, "catalog": N, "batch_users": B, "repr_dim": D,
+        "max_abs_err_vs_dense": err,
+        "collective_bytes": collective_volume(hlo),
+        "ok": err < 1e-4,
+    }))
+
+
 def main():
+    if "--sharded" in sys.argv:
+        return sharded_main()
     import jax
     import jax.numpy as jnp
 
@@ -47,8 +94,10 @@ def main():
     item_repr = m.cache.item_repr.astype(jnp.bfloat16)
     user_repr = m.cache.user_repr.astype(jnp.bfloat16)
 
-    # (a) full-catalog scoring: B users x ALL items
-    B = 512
+    # (a) full-catalog scoring: B users x ALL items. At D=64 the dot is
+    # score-WRITE bound; B=8192 amortizes dispatch + gather and runs the
+    # output write at ~530 GB/s (B=512 leaves 5x on the table)
+    B = 8192
     users = jnp.arange(B) % data.num_users
 
     @jax.jit
@@ -82,6 +131,50 @@ def main():
         "flops_per_item": 2 * D,
         "cache_build_s": round(cache_s, 2),
     }))
+
+    # (b) impression-eval pattern (reference fast-eval §3.3: tester.py one
+    # (user, candidate) pair per row): gather both reprs, rowwise dot.
+    # Dominated by the two random gathers — report bytes/s alongside.
+    Bi = 1 << 20
+    rng = np.random.default_rng(0)
+    u_ids = jnp.asarray(rng.integers(0, data.num_users, Bi), jnp.int32)
+    i_ids = jnp.asarray(rng.integers(0, N, Bi), jnp.int32)
+
+    @jax.jit
+    def score_rows(u_ids, i_ids):
+        u = jnp.take(user_repr, u_ids, axis=0)
+        it = jnp.take(item_repr, i_ids, axis=0)
+        return jnp.sum(u * it, axis=-1)
+
+    out = jax.block_until_ready(score_rows(u_ids, i_ids))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = score_rows(u_ids, i_ids)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    rows_bytes = Bi * (2 * D * 2 + out.dtype.itemsize + 8)
+    print(json.dumps({
+        "metric": "impression_rows_scored_per_sec",
+        "value": round(n * Bi / dt, 0),
+        "unit": "rows/s",
+        "catalog": N, "repr_dim": D, "batch_rows": Bi,
+        "gbytes_per_s": round(rows_bytes * n / dt / 1e9, 1),
+    }))
+
+    # (c) sharded serving: child process on the virtual CPU mesh (the
+    # session pins one real chip; parity + collective accounting is the
+    # multi-chip evidence until real hardware exists)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8")
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, __file__, "--sharded"], env=env, timeout=600,
+        capture_output=True, text=True)
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    print(line[-1] if line else json.dumps(
+        {"metric": "sharded_serving_validation", "ok": False,
+         "rc": r.returncode, "stderr_tail": r.stderr[-400:]}))
 
 
 if __name__ == "__main__":
