@@ -18,7 +18,26 @@ from legommenders_tpu.models.embedding import EmbeddingHub
 from legommenders_tpu.models.item_table import ItemContentTable
 from legommenders_tpu.models.legommender import Legommender
 from legommenders_tpu.utils.function import combine_config
+from legommenders_tpu.utils.logging import get_logger
 from legommenders_tpu.utils.registry import OPERATORS, PREDICTORS
+
+# keys combine_config injects; their absence from a class is expected
+_INJECTED_KEYS = ("hidden_size", "input_dim", "num_cols", "lm_dtype")
+
+
+def _filter_fields(cfg: dict, cls, what: str) -> dict:
+    """Keep the keys `cls` declares; WARN about the rest — a silently
+    dropped YAML key (e.g. item_config.dropout on an operator that never
+    declared it) is a config no-op the user can't see otherwise."""
+    known = cls.__dataclass_fields__
+    dropped = [k for k in cfg
+               if k not in known and k not in _INJECTED_KEYS]
+    if dropped:
+        get_logger().warning(
+            "%s (%s): ignoring unknown config keys %s — declared fields "
+            "are %s", what, cls.__name__, dropped,
+            sorted(k for k in known if not k.startswith("_")))
+    return {k: v for k, v in cfg.items() if k in known}
 
 _DTYPE_NAMES = {
     "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
@@ -143,8 +162,7 @@ class LegoConfig:
                 {k: v for k, v in self.item_config.items()
                  if k != "inputer_config"},
                 hidden_size=item_hidden, input_dim=emb_dim)
-            icfg = {k: v for k, v in icfg.items()
-                    if k in item_op_cls.__dataclass_fields__}
+            icfg = _filter_fields(icfg, item_op_cls, "item_config")
             if "num_cols" in item_op_cls.__dataclass_fields__:
                 icfg["num_cols"] = len(item_cols)
             # YAML configs express dtypes as strings ("bf16"); flax module
@@ -153,8 +171,9 @@ class LegoConfig:
                 icfg["lm_dtype"] = _DTYPE_NAMES[icfg["lm_dtype"].lower()]
             item_op = item_op_cls(dtype=self.dtype, **icfg)
             inputer_cfg = dict(self.item_config.get("inputer_config") or {})
-            inputer_cfg = {k: v for k, v in inputer_cfg.items()
-                           if k in item_op_cls.inputer_class.__dataclass_fields__}
+            inputer_cfg = _filter_fields(inputer_cfg,
+                                         item_op_cls.inputer_class,
+                                         "item_config.inputer_config")
             item_inputer = item_op_cls.inputer_class(
                 cols=item_cols, dtype=self.dtype, **inputer_cfg)
             user_input_dim = item_op.output_dim
@@ -172,8 +191,7 @@ class LegoConfig:
             {k: v for k, v in self.user_config.items()
              if k != "inputer_config"},
             hidden_size=self.hidden_size, input_dim=user_input_dim)
-        ucfg = {k: v for k, v in ucfg.items()
-                if k in user_op_cls.__dataclass_fields__}
+        ucfg = _filter_fields(ucfg, user_op_cls, "user_config")
         if ("num_semantic_layers" in user_op_cls.__dataclass_fields__
                 and "num_semantic_layers" not in ucfg and item_cols):
             # semantic operator: layer count = semantic-code width
@@ -187,9 +205,9 @@ class LegoConfig:
             # unless the inputer reads user-store columns from the batch
             # (SemanticMixInputer)
             u_inputer_cfg = dict(self.user_config.get("inputer_config") or {})
-            u_inputer_cfg = {
-                k: v for k, v in u_inputer_cfg.items()
-                if k in user_op_cls.inputer_class.__dataclass_fields__}
+            u_inputer_cfg = _filter_fields(u_inputer_cfg,
+                                           user_op_cls.inputer_class,
+                                           "user_config.inputer_config")
             u_cols = item_cols
             if user_from_user_cols:
                 assert data.user_inputs, (
@@ -212,8 +230,7 @@ class LegoConfig:
 
         pcfg = combine_config(dict(self.predictor_config),
                               hidden_size=self.hidden_size)
-        pcfg = {k: v for k, v in pcfg.items()
-                if k in pred_cls.__dataclass_fields__}
+        pcfg = _filter_fields(pcfg, pred_cls, "predictor_config")
         predictor = pred_cls(dtype=self.dtype, **pcfg)
 
         # compatibility checks (reference lego_config.py:217-224)

@@ -243,6 +243,13 @@ class Legommender(nn.Module):
         """Fast-eval path: precomputed reprs -> scores (B, K)."""
         return self.predictor(user_repr, item_repr, training=False)
 
+    def score(self, user_repr: jnp.ndarray, item_repr: jnp.ndarray,
+              training: bool = False) -> jnp.ndarray:
+        """Predictor pass with an explicit training flag — the composable
+        entry for externally-orchestrated forwards (parallel/catalog.py
+        rebuilds the catalog branch of __call__ around a sharded encode)."""
+        return self.predictor(user_repr, item_repr, training=training)
+
     # ------------------------------------------------------------------ #
     # full forward                                                       #
     # ------------------------------------------------------------------ #

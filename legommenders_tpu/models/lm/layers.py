@@ -631,6 +631,9 @@ class OPTDecoderLayer(nn.Module):
     lora_alpha: int = 16
     lora_dropout: float = 0.0
     freeze_base: bool = False
+    # HF OPTConfig.dropout (default 0.1 there): applied to the attention
+    # output and the fc2 output (modeling_opt residual sites)
+    dropout: float = 0.0
     fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -660,12 +663,14 @@ class OPTDecoderLayer(nn.Module):
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
         out = _frozen_dense(D, self.freeze_base, self.dtype,
                             "out_proj")(out, training)
+        out = nn.Dropout(self.dropout)(out, deterministic=not training)
         x = x + out
         h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype, name="ffn_norm")(x)
         h = nn.relu(_frozen_dense(ffn, self.freeze_base, self.dtype,
                                   "fc1")(h, training))
         h = _frozen_dense(D, self.freeze_base, self.dtype,
                           "fc2")(h, training)
+        h = nn.Dropout(self.dropout)(h, deterministic=not training)
         return x + h
 
 
@@ -682,6 +687,7 @@ class OPTDecoderSlice(nn.Module):
     lora_alpha: int = 16
     lora_dropout: float = 0.0
     freeze_base: bool = False
+    dropout: float = 0.0       # HF OPTConfig.dropout — see OPTDecoderLayer
     attention_pack: int = 0    # -1 auto: pack 128//L items per attn call
     fused_attention: bool = False
     pipeline_stages: int = 0
@@ -715,6 +721,7 @@ class OPTDecoderSlice(nn.Module):
             layer_mod = OPTDecoderLayer(self.num_heads, self.ffn_dim,
                                         self.lora_r, self.lora_alpha,
                                         self.lora_dropout, self.freeze_base,
+                                        dropout=self.dropout,
                                         fused_attention=self.fused_attention,
                                         dtype=self.dtype)
             x = _pipelined_stack(self, layer_mod, x, mask_bias,
@@ -736,6 +743,7 @@ class OPTDecoderSlice(nn.Module):
             x = OPTDecoderLayer(self.num_heads, self.ffn_dim, self.lora_r,
                                 self.lora_alpha, self.lora_dropout,
                                 self.freeze_base,
+                                dropout=self.dropout,
                                 fused_attention=self.fused_attention,
                                 dtype=self.dtype,
                                 name=f"layer_{i}")(x, mask_bias, training)

@@ -45,6 +45,13 @@ class LMOperator(BaseOperator):
     lora_r: int = 32
     lora_alpha: int = 16
     lora_dropout: float = 0.1
+    # HF hidden-state / attention-probs dropout, forwarded to slices that
+    # model them (BERT hidden+attn, OPT hidden; HF Llama defaults to 0.0
+    # and the Llama slice models none). None attn_dropout = same as
+    # `dropout`. Without these fields a YAML item_config.dropout was
+    # silently filtered and the slice defaults (0.1) always won.
+    dropout: float = 0.1
+    attn_dropout: Optional[float] = None
     additive_hidden_size: int = 256
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
@@ -150,6 +157,7 @@ class BertOperator(LMOperator):
             start=start, embed=(start == 0), max_position=self.max_position,
             gelu_approximate=self.gelu_approximate,
             attention_pack=self.attention_pack,
+            dropout=self.dropout, attn_dropout=self.attn_dropout,
             dtype=self.lm_dtype, name=name,
             **self._lora_kwargs(trainable), **extra)
 
@@ -226,6 +234,7 @@ class OPTOperator(LMOperator):
             embed_positions=(start == 0), final_norm=trainable,
             max_position=self.max_position,
             attention_pack=self.attention_pack,
+            dropout=self.dropout,
             dtype=self.lm_dtype, name=name,
             **self._lora_kwargs(trainable), **extra)
 

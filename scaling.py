@@ -181,6 +181,68 @@ def sweep(n_devices=8, steps=3, batch_size=16, rtol=2e-4):
             "pp": pp, "max_out_dev_vs_serial": dev,
             "collective_bytes": collective_volume(hlo), "ok": True,
         })
+
+    # catalog-parallel point (parallel/catalog.py): the item catalog lives
+    # row-sharded over ALL devices, each encodes only its local rows, and
+    # one step must match the replicated single-device step
+    import optax
+    from legommenders_tpu.parallel.catalog import (
+        make_catalog_parallel_step, place_catalog)
+    from legommenders_tpu.parallel.mesh import make_mesh
+    from legommenders_tpu.runtime.steps import init_params, make_train_step
+
+    # dropout-free model: parity vs the single-device step must be exact
+    # (the sharded encode folds device indices into the dropout keys, so
+    # with dropout on the losses would differ by draw, not by math)
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.runtime.manager import Manager
+    data = SyntheticProcessor(num_items=100, num_users=40, title_len=8,
+                              history_len=6, inters_per_user=10
+                              ).as_lego_data()
+    m = Manager({}, {
+        "meta": {"item": "CNN", "user": "Ada", "predictor": "Dot"},
+        "config": {"use_item_content": True, "hidden_size": 16,
+                   "use_neg_sampling": True, "neg_count": 2,
+                   "full_catalog_encode": "on",
+                   "item_config": {"dropout": 0.0}}},
+        exp_cfg={"policy": {"batch_size": batch_size}}, data=data)
+    tb = m.train_batcher(seed=0)
+    import jax.numpy as _jnp
+    jbatch = {k: _jnp.asarray(v)
+              for k, v in next(tb.epoch(shuffle=False)).items()}
+    params = init_params(m.model, jbatch, m.contents.columns, seed=0)
+    optimizer = optax.adam(1e-3)
+    ref_step = make_train_step(m.model, m.contents.columns, optimizer,
+                               donate=False)
+    p1, _, loss1 = ref_step(params, optimizer.init(params), jbatch,
+                            jax.random.PRNGKey(0))
+    cat_mesh = make_mesh(n_dp=n_devices, n_mp=1,
+                         devices=jax.devices()[:n_devices])
+    contents, _n = place_catalog(dict(m.contents.columns), cat_mesh)
+    shard_rows = {s.data.shape[0]
+                  for s in next(iter(contents.values())).addressable_shards}
+    cstep = make_catalog_parallel_step(m.model, optimizer, cat_mesh,
+                                       rng_impl="threefry2x32")
+    with cat_mesh:
+        hlo = cstep.lower(params, optimizer.init(params), contents, jbatch,
+                          0).compile().as_text()
+        p8, _, loss8 = cstep(params, optimizer.init(params), contents,
+                             jbatch, 0)
+        loss8 = float(jax.block_until_ready(loss8))
+    flat1 = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+             jax.tree_util.tree_leaves_with_path(p1)}
+    flat8 = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+             jax.tree_util.tree_leaves_with_path(p8)}
+    cat_dev = max(float(np.max(np.abs(flat8[k] - flat1[k])))
+                  for k in flat1)
+    assert abs(loss8 - float(loss1)) <= rtol * max(1.0, abs(float(loss1)))
+    assert cat_dev < 5e-3, f"catalog-parallel params diverged by {cat_dev}"
+    records.append({
+        "catalog_parallel": n_devices,
+        "rows_per_device": sorted(shard_rows),
+        "loss": round(loss8, 6), "max_param_dev_vs_ref": cat_dev,
+        "collective_bytes": collective_volume(hlo), "ok": True,
+    })
     return records
 
 
