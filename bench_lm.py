@@ -107,6 +107,13 @@ def main(argv):
                 # at batch 16384 (5649 -> 6148 impr/s) on the v5e
                 "fused_attention":
                     bool(int(cli.get("fused_attention") or 1)),
+                # q/k/v base projections as one concatenated GEMM per
+                # layer (exact math, identical param tree —
+                # lm/layers._fused_qkv_proj). Measured NEUTRAL on v5e at
+                # this geometry (5988 vs 5986 impr/s @ 16384) — XLA
+                # already schedules the three GEMMs back-to-back; knob
+                # kept for other geometries, default off
+                "fused_qkv": bool(int(cli.get("fused_qkv") or 0)),
             },
         },
     }

@@ -89,6 +89,83 @@ def _frozen_dense(features, freeze, dtype, name, use_bias=True):
                      name=name, use_bias=use_bias)
 
 
+class ProjParams(nn.Module):
+    """Declares exactly LoRADense's param tree (kernel/bias/lora_A/lora_B,
+    same names, shapes, initializers) WITHOUT computing, so a fused-QKV
+    attention can read the weights and run one concatenated GEMM while
+    checkpoints, the HF weight mapping (lm/hf_loader.py), and the golden
+    tests stay byte-identical. Flax derives param init RNG from the param
+    path, so fused and unfused modules even initialize to the same values."""
+
+    features: int
+    lora_r: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        a = b = None
+        if self.lora_r > 0:
+            a = self.param("lora_A", nn.initializers.normal(0.02),
+                           (in_dim, self.lora_r))
+            b = self.param("lora_B", nn.initializers.zeros,
+                           (self.lora_r, self.features))
+        return kernel, bias, a, b
+
+
+def _fused_qkv_proj(x, specs, *, freeze_base, dtype, lora_alpha,
+                    lora_dropout, training):
+    """Project x through q/k/v as ONE GEMM against the concatenated base
+    kernels (exact math — each output column block is the same dot product
+    as the per-projection GEMM), then add the LoRA low-rank deltas.
+
+    specs: [(name, features, lora_r, use_bias)] in q, k, v order. The three
+    per-projection dispatches at news-rec token counts leave the MXU idle
+    between calls; one (D, sum(features)) GEMM amortizes that (ROADMAP
+    perf #2 "fused QKV"). One shared lora-dropout mask is drawn for all
+    LoRA'd projections (the unfused path draws one per projection — both
+    are valid Bernoulli(p) dropout; parity tests run deterministic).
+    No reference counterpart (torch/HF keep separate q/k/v Linears)."""
+    D = x.shape[-1]
+    parts = [ProjParams(f, r, use_bias=ub, name=n)(D)
+             for (n, f, r, ub) in specs]
+    kernel = jnp.concatenate([p[0] for p in parts], axis=1)
+    if freeze_base:
+        kernel = jax.lax.stop_gradient(kernel)
+    xd = x.astype(dtype)
+    y = jnp.einsum("...d,df->...f", xd, kernel.astype(dtype))
+    if parts[0][1] is not None:
+        bias = jnp.concatenate([p[1] for p in parts])
+        if freeze_base:
+            bias = jax.lax.stop_gradient(bias)
+        y = y + bias.astype(dtype)
+    sizes = [f for (_, f, _, _) in specs]
+    outs = list(jnp.split(y, _split_points(sizes), axis=-1))
+    if any(r > 0 for (_, _, r, _) in specs):
+        h = x
+        if lora_dropout > 0:
+            h = nn.Dropout(lora_dropout)(h, deterministic=not training)
+        hd = h.astype(dtype)
+        for i, (_, _, r, _) in enumerate(specs):
+            if r > 0:
+                a, b = parts[i][2], parts[i][3]
+                outs[i] = outs[i] + jnp.einsum(
+                    "...d,dr,rf->...f", hd, a.astype(dtype),
+                    b.astype(dtype)) * (lora_alpha / r)
+    return outs
+
+
+def _split_points(sizes):
+    out, acc = [], 0
+    for s in sizes[:-1]:
+        acc += s
+        out.append(acc)
+    return out
+
+
 def _pipelined_stack(mdl, layer_module, x, mask_bias, training: bool,
                      mesh):
     """Run a slice's layer stack through GPipe stages over the ambient
@@ -222,6 +299,7 @@ class BertSelfAttention(nn.Module):
     freeze_base: bool = False
     dropout: float = 0.1
     fused: bool = False  # Pallas packed_attention core (T <= 128)
+    fused_qkv: bool = False  # one concatenated (D, 3D) base GEMM
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -229,13 +307,24 @@ class BertSelfAttention(nn.Module):
         D = x.shape[-1]
         H, d = self.num_heads, D // self.num_heads
         # HF LoRA default targets: query & value
-        q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
-                      freeze_base=self.freeze_base, dtype=self.dtype,
-                      name="query")(x, training)
-        k = _frozen_dense(D, self.freeze_base, self.dtype, "key")(x, training)
-        v = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
-                      freeze_base=self.freeze_base, dtype=self.dtype,
-                      name="value")(x, training)
+        if self.fused_qkv:
+            q, k, v = _fused_qkv_proj(
+                x,
+                [("query", D, self.lora_r, True),
+                 ("key", D, 0, True),
+                 ("value", D, self.lora_r, True)],
+                freeze_base=self.freeze_base, dtype=self.dtype,
+                lora_alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
+                training=training)
+        else:
+            q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                          freeze_base=self.freeze_base, dtype=self.dtype,
+                          name="query")(x, training)
+            k = _frozen_dense(D, self.freeze_base, self.dtype,
+                              "key")(x, training)
+            v = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                          freeze_base=self.freeze_base, dtype=self.dtype,
+                          name="value")(x, training)
         B, L = x.shape[0], x.shape[1]
         if self.fused and L <= 128 and not self.is_initializing():
             out = _fused_attention(self, q, k, v, mask_bias, H,
@@ -270,6 +359,7 @@ class BertLayer(nn.Module):
     # to the tanh form (~1e-3 max output delta) for speed.
     gelu_approximate: bool = False
     fused_attention: bool = False
+    fused_qkv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -280,7 +370,7 @@ class BertLayer(nn.Module):
         attn = BertSelfAttention(
             self.num_heads, self.lora_r, self.lora_alpha, self.lora_dropout,
             self.freeze_base, attn_p, fused=self.fused_attention,
-            dtype=self.dtype,
+            fused_qkv=self.fused_qkv, dtype=self.dtype,
             name="attention")(x, mask_bias, training)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
         x = FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
@@ -323,6 +413,8 @@ class BertEncoderSlice(nn.Module):
     attention_pack: int = 0
     # fused Pallas attention core (scores/probs/dropout stay in VMEM)
     fused_attention: bool = False
+    # q/k/v base projections as one concatenated GEMM (exact math)
+    fused_qkv: bool = False
     pipeline_stages: int = 0      # >1: stage layers over the ambient pp mesh
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.float32
@@ -357,6 +449,7 @@ class BertEncoderSlice(nn.Module):
                                   attn_dropout=self.attn_dropout,
                                   gelu_approximate=self.gelu_approximate,
                                   fused_attention=self.fused_attention,
+                                  fused_qkv=self.fused_qkv,
                                   dtype=self.dtype)
             return _pipelined_stack(self, layer_mod, x, mask_bias,
                                     training, pp_mesh)
@@ -374,6 +467,7 @@ class BertEncoderSlice(nn.Module):
                           attn_dropout=self.attn_dropout,
                           gelu_approximate=self.gelu_approximate,
                           fused_attention=self.fused_attention,
+                          fused_qkv=self.fused_qkv,
                           dtype=self.dtype, name=f"layer_{i}")(
                 x, mask_bias, training)
             if self.collect_pooled:
@@ -466,6 +560,7 @@ class LlamaDecoderLayer(nn.Module):
     # packing — each packed item keeps its original absolute positions)
     rotary_period: int = 0
     fused_attention: bool = False
+    fused_qkv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -478,16 +573,26 @@ class LlamaDecoderLayer(nn.Module):
         L_tab = self.rotary_period or L
 
         h = RMSNorm(freeze=self.freeze_base, dtype=self.dtype, name="input_norm")(x)
-        q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
-                      use_bias=self.qkv_bias, freeze_base=self.freeze_base,
-                      dtype=self.dtype, name="q_proj")(h, training)
-        k = LoRADense(KV * d, 0, use_bias=self.qkv_bias,
-                      freeze_base=self.freeze_base, dtype=self.dtype,
-                      name="k_proj")(h, training)
-        v = LoRADense(KV * d, self.lora_r, self.lora_alpha,
-                      self.lora_dropout, use_bias=self.qkv_bias,
-                      freeze_base=self.freeze_base, dtype=self.dtype,
-                      name="v_proj")(h, training)
+        if self.fused_qkv:
+            q, k, v = _fused_qkv_proj(
+                h,
+                [("q_proj", D, self.lora_r, self.qkv_bias),
+                 ("k_proj", KV * d, 0, self.qkv_bias),
+                 ("v_proj", KV * d, self.lora_r, self.qkv_bias)],
+                freeze_base=self.freeze_base, dtype=self.dtype,
+                lora_alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
+                training=training)
+        else:
+            q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                          use_bias=self.qkv_bias, freeze_base=self.freeze_base,
+                          dtype=self.dtype, name="q_proj")(h, training)
+            k = LoRADense(KV * d, 0, use_bias=self.qkv_bias,
+                          freeze_base=self.freeze_base, dtype=self.dtype,
+                          name="k_proj")(h, training)
+            v = LoRADense(KV * d, self.lora_r, self.lora_alpha,
+                          self.lora_dropout, use_bias=self.qkv_bias,
+                          freeze_base=self.freeze_base, dtype=self.dtype,
+                          name="v_proj")(h, training)
         q = q.reshape(B, L, H, d)
         k = k.reshape(B, L, KV, d)
         v = v.reshape(B, L, KV, d)
@@ -558,6 +663,7 @@ class LlamaDecoderSlice(nn.Module):
     rotary_interleaved: bool = False
     attention_pack: int = 0    # -1 auto: pack 128//L items per attn call
     fused_attention: bool = False
+    fused_qkv: bool = False
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
@@ -582,6 +688,7 @@ class LlamaDecoderSlice(nn.Module):
                 rotary_fraction=self.rotary_fraction,
                 rotary_interleaved=self.rotary_interleaved,
                 fused_attention=self.fused_attention,
+                fused_qkv=self.fused_qkv,
                 dtype=self.dtype)
             x = _pipelined_stack(self, layer_mod, x, mask_bias,
                                  training, pp_mesh)
@@ -607,6 +714,7 @@ class LlamaDecoderSlice(nn.Module):
                 rotary_interleaved=self.rotary_interleaved,
                 rotary_period=L if G > 1 else 0,
                 fused_attention=self.fused_attention,
+                fused_qkv=self.fused_qkv,
                 dtype=self.dtype,
                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:
@@ -635,6 +743,7 @@ class OPTDecoderLayer(nn.Module):
     # output and the fc2 output (modeling_opt residual sites)
     dropout: float = 0.0
     fused_attention: bool = False
+    fused_qkv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -643,13 +752,24 @@ class OPTDecoderLayer(nn.Module):
         H, d = self.num_heads, D // self.num_heads
         ffn = self.ffn_dim or 4 * D
         h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype, name="attn_norm")(x)
-        q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
-                      freeze_base=self.freeze_base, dtype=self.dtype,
-                      name="q_proj")(h, training)
-        k = _frozen_dense(D, self.freeze_base, self.dtype, "k_proj")(h, training)
-        v = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
-                      freeze_base=self.freeze_base, dtype=self.dtype,
-                      name="v_proj")(h, training)
+        if self.fused_qkv:
+            q, k, v = _fused_qkv_proj(
+                h,
+                [("q_proj", D, self.lora_r, True),
+                 ("k_proj", D, 0, True),
+                 ("v_proj", D, self.lora_r, True)],
+                freeze_base=self.freeze_base, dtype=self.dtype,
+                lora_alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
+                training=training)
+        else:
+            q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                          freeze_base=self.freeze_base, dtype=self.dtype,
+                          name="q_proj")(h, training)
+            k = _frozen_dense(D, self.freeze_base, self.dtype,
+                              "k_proj")(h, training)
+            v = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
+                          freeze_base=self.freeze_base, dtype=self.dtype,
+                          name="v_proj")(h, training)
         if self.fused_attention and L <= 128 and not self.is_initializing():
             # pass q unscaled: the kernel applies 1/sqrt(d) itself
             out = _fused_attention(self, q, k, v, mask_bias, H, 0.0,
@@ -690,6 +810,7 @@ class OPTDecoderSlice(nn.Module):
     dropout: float = 0.0       # HF OPTConfig.dropout — see OPTDecoderLayer
     attention_pack: int = 0    # -1 auto: pack 128//L items per attn call
     fused_attention: bool = False
+    fused_qkv: bool = False
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
@@ -723,6 +844,7 @@ class OPTDecoderSlice(nn.Module):
                                         self.lora_dropout, self.freeze_base,
                                         dropout=self.dropout,
                                         fused_attention=self.fused_attention,
+                                        fused_qkv=self.fused_qkv,
                                         dtype=self.dtype)
             x = _pipelined_stack(self, layer_mod, x, mask_bias,
                                  training, pp_mesh)
@@ -745,6 +867,7 @@ class OPTDecoderSlice(nn.Module):
                                 self.freeze_base,
                                 dropout=self.dropout,
                                 fused_attention=self.fused_attention,
+                                fused_qkv=self.fused_qkv,
                                 dtype=self.dtype,
                                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:

@@ -66,6 +66,9 @@ class LMOperator(BaseOperator):
     # probs and dropout mask stay in VMEM per (row, head) instead of
     # materializing in HBM; requires (packed) seq len <= 128
     fused_attention: bool = False
+    # q/k/v base projections as ONE concatenated GEMM per layer (exact
+    # math, same param tree — lm/layers._fused_qkv_proj)
+    fused_qkv: bool = False
 
     inputer_class = ConcatInputer
     hf_family: str = ""  # "bert" | "llama" | "opt" — hf_loader mapping
@@ -107,13 +110,17 @@ class LMOperator(BaseOperator):
         # (the offline lower slice stays serial: it runs paged, off-mesh)
         pp = dict(pipeline_stages=self.pipeline_stages,
                   pipeline_microbatches=self.pipeline_microbatches,
-                  fused_attention=self.fused_attention)
+                  fused_attention=self.fused_attention,
+                  fused_qkv=self.fused_qkv)
         self.upper_slice = self.make_slice(
             start, self.num_hidden_layers - start, trainable=True,
             name="lm", **pp)
         if start > 0:
+            # the offline lower slice benefits from the fused GEMM too
+            # (cache build time); PP stays off there (runs paged, off-mesh)
             self.lower_slice = self.make_slice(
-                0, start, trainable=False, name="lm_lower")
+                0, start, trainable=False, name="lm_lower",
+                fused_qkv=self.fused_qkv)
         self.linear = nn.Dense(self.hidden_size, dtype=self.dtype,
                                name="linear")
         self.pool = AdditiveAttention(self.additive_hidden_size,

@@ -59,8 +59,12 @@ def arch_key(op) -> str:
     without it in the key the fingerprint would silently reuse the other
     precision's cache."""
     dt = jnp.dtype(getattr(op, "lm_dtype", jnp.float32)).name
+    # fused_qkv is exact math but XLA tiles the concatenated GEMM
+    # differently — bf16 rounding can differ at epsilon scale; keep the
+    # caches separate so toggling it never mixes precisions of truth
     return (f"gelu_approx={bool(getattr(op, 'gelu_approximate', False))},"
-            f"lm_dtype={dt}")
+            f"lm_dtype={dt},"
+            f"fused_qkv={bool(getattr(op, 'fused_qkv', False))}")
 
 
 def scrub_nans(hidden: np.ndarray, mask: Optional[np.ndarray] = None,

@@ -302,6 +302,63 @@ def test_attention_pack_parity():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("family", ["bert", "bert-lora", "llama", "glm",
+                                    "opt"])
+def test_fused_qkv_parity(family):
+    """fused_qkv: one concatenated base GEMM == three per-projection GEMMs
+    (exact math), with an IDENTICAL param tree — the same params apply to
+    both variants, so checkpoints/HF mapping are unaffected. Covers LoRA
+    (frozen base + low-rank delta), GQA + qkv bias (GLM), and OPT."""
+    from legommenders_tpu.models.lm.layers import (
+        BertEncoderSlice, LlamaDecoderSlice, OPTDecoderSlice)
+
+    rng = np.random.default_rng(3)
+    B, L, D = 5, 9, 32
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    lens = rng.integers(1, L + 1, B)
+    mask = jnp.asarray((np.arange(L)[None] < lens[:, None]).astype(np.int32))
+    if family == "bert":
+        base = BertEncoderSlice(num_layers=2, num_heads=2, embed=True,
+                                dropout=0.0)
+    elif family == "bert-lora":
+        base = BertEncoderSlice(num_layers=2, num_heads=2, embed=False,
+                                dropout=0.0, lora_r=2, freeze_base=True)
+    elif family == "llama":
+        base = LlamaDecoderSlice(num_layers=2, num_heads=2,
+                                 dtype=jnp.float32)
+    elif family == "glm":
+        base = LlamaDecoderSlice(num_layers=2, num_heads=4, num_kv_heads=2,
+                                 qkv_bias=True, rotary_fraction=0.5,
+                                 rotary_interleaved=True, dtype=jnp.float32)
+    else:
+        base = OPTDecoderSlice(num_layers=2, num_heads=2,
+                               embed_positions=False, dtype=jnp.float32)
+    fused = base.clone(fused_qkv=True)
+    params = base.init(jax.random.PRNGKey(0), x, mask, False)
+    params_f = fused.init(jax.random.PRNGKey(0), x, mask, False)
+    # identical tree AND identical values (flax derives init RNG from the
+    # param path, which ProjParams preserves)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y0 = base.apply(params, x, mask, False)
+    y1 = fused.apply(params, x, mask, False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-5, atol=2e-5)
+    if family == "bert-lora":
+        # grads: frozen base still zero, LoRA still flows, under fusion
+        def loss(p):
+            return jnp.sum(fused.apply(p, x, mask, False) ** 2)
+        g = jax.grad(loss)(params)["params"]
+        attn = g["layer_0"]["attention"]
+        assert float(np.abs(np.asarray(attn["query"]["kernel"])).sum()) == 0
+        # lora_B inits to zeros, so lora_A's grad is exactly zero at init
+        # (dL/dA factors through B) — lora_B is the live signal
+        assert float(np.abs(np.asarray(attn["query"]["lora_B"])).sum()) > 0
+
+
 @pytest.mark.parametrize("family", ["llama", "glm", "opt"])
 def test_attention_pack_parity_causal(family):
     """Packed causal attention == unpacked, incl. per-item rotary restart
