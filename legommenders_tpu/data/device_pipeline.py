@@ -112,6 +112,18 @@ class DeviceTrainPipeline:
         }
 
     # ------------------------------------------------------------------
+    def _replicate_substrate(self, sharding):
+        """Re-place every HBM substrate array with the given sharding
+        (mesh replication) so closure captures compose with mesh-sharded
+        step arguments."""
+        for name in ("user_ids", "item_ids", "labels", "history",
+                     "hist_mask", "negs", "negs_invalid", "neg_counts"):
+            setattr(self, name, jax.device_put(getattr(self, name), sharding))
+        self.user_extra = {
+            col: (jax.device_put(mat, sharding), aux)
+            for col, (mat, aux) in self.user_extra.items()}
+
+    # ------------------------------------------------------------------
     def __len__(self) -> int:
         return self.n // self.batch_size
 
@@ -173,17 +185,38 @@ class DeviceTrainPipeline:
     # ------------------------------------------------------------------
     def make_fused_train_step(self, model, item_contents, optimizer,
                               seed: int = 0,
-                              rng_impl: str = "threefry2x32"):
+                              rng_impl: str = "threefry2x32",
+                              mesh=None):
         """Returns jitted step(params, opt_state, idx, step_idx) ->
         (params, opt_state, loss) with batch assembly fused in.
 
         rng_impl: "threefry2x32" (default, splittable) or "rbg" (cheaper
         counter RNG — dropout masks dominate RNG cost at large batch).
+
+        With a mesh (exp.policy.mesh), the (B,) idx rides dp-sharded and
+        big content columns are placed replicated so the fused step runs
+        SPMD over the mesh; gathers of the replicated substrate by the
+        dp-sharded idx keep the assembled batch dp-sharded throughout.
         """
         base = jax.random.key(seed, impl=rng_impl)
         use_neg = self.use_neg_sampling
 
         small, big = _split_contents(item_contents)
+        idx_place = jnp.asarray
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from legommenders_tpu.parallel.mesh import DP_AXIS
+            repl = NamedSharding(mesh, P())
+            big = {c: jax.device_put(a, repl) for c, a in big.items()}
+            # small columns are closure constants; replicate them too (the
+            # CatalogGradPlan falls back to a content-hash match since the
+            # replicated copy is a different object — still LIVE)
+            small = {c: jax.device_put(a, repl) for c, a in small.items()}
+            dp_sh = NamedSharding(mesh, P(DP_AXIS))
+            idx_place = lambda v: jax.device_put(jnp.asarray(v), dp_sh)
+            # the closure-captured substrate must live on the mesh too —
+            # single-device committed constants can't mix with mesh args
+            self._replicate_substrate(repl)
 
         def loss_fn(params, big_contents, idx, rng):
             sample_rng, dropout_rng = jax.random.split(rng)
@@ -205,7 +238,7 @@ class DeviceTrainPipeline:
         jitted = jax.jit(step, donate_argnums=(0, 1))
 
         def run(params, opt_state, idx, step_idx):
-            return jitted(params, opt_state, big, idx, step_idx)
+            return jitted(params, opt_state, big, idx_place(idx), step_idx)
 
         return run
 

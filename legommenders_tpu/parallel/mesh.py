@@ -136,6 +136,45 @@ def make_mesh(n_dp: Optional[int] = None, n_mp: int = 1,
     return Mesh(arr, (DP_AXIS, MP_AXIS))
 
 
+def mesh_from_policy(cfg, devices=None) -> Mesh:
+    """Build the experiment mesh from the `exp.policy.mesh` config block.
+
+    Schema (all keys optional):
+        mesh:
+          dp: 8                  # data-parallel width; default = the rest
+          mp: 2                  # model-parallel width (table row-sharding
+                                 #   + Megatron-TP on LM slices)
+          sp: 1                  # sequence-parallel width
+          catalog_parallel: true # routes the Trainer through
+                                 #   parallel/catalog.py (read by the
+                                 #   Trainer, not here)
+          min_rows_to_shard: 0   # embedding-table sharding threshold
+    `mesh: true` (bare flag) means "all visible devices, pure dp".
+    Uses the first dp*mp*sp of `devices` (default jax.devices()).
+
+    This is the config-only composition contract of the reference
+    (trainer.py:299-313) extended to multi-chip — no reference counterpart
+    (it is single-device, base_lego.py:272-296).
+    """
+    if cfg is True:
+        cfg = {}
+    if not isinstance(cfg, dict):
+        raise ValueError(f"exp.policy.mesh must be a mapping or true, "
+                         f"got {cfg!r}")
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    n_mp = int(cfg.get("mp") or 1)
+    n_sp = int(cfg.get("sp") or 1)
+    dp = cfg.get("dp")
+    n_dp = int(dp) if dp else max(1, n // (n_mp * n_sp))
+    need = n_dp * n_mp * n_sp
+    if need > n:
+        raise ValueError(
+            f"mesh policy wants {n_dp}x{n_mp}x{n_sp}={need} devices, "
+            f"only {n} visible")
+    return make_mesh(n_dp, n_mp, n_sp, devices=devices[:need])
+
+
 def batch_spec() -> P:
     return P(DP_AXIS)
 

@@ -1,13 +1,22 @@
-"""Fast-eval representation caches, jit-paged.
+"""Fast-eval representation caches, jit-paged, optionally mesh-sharded.
 
 Parity: reference loader/cacher/* + loader/pager/* — before evaluation, all
 item representations (num_items, D) and all user representations
 (num_users, D) are precomputed so each eval forward is a pair of gathers +
-the predictor (base_lego.py:349-398 hot loop).
+the predictor (base_lego.py:349-398 hot loop, repr_cacher.py:35-142).
 
 TPU redesign: pages are fixed-size jitted calls (one compile), the tail page
 is padded; outputs land in device arrays. The reference pages through python
 dict stacking on host (base_pager.py:130-189).
+
+Mesh mode (no reference counterpart — the reference is single-device): when
+an `exp.policy.mesh` is active the caches are built by a shard_map over the
+mesh's catalog axes — each device encodes only its local catalog/user rows
+(build cost scales 1/n_dev) and the resulting repr matrices STAY row-sharded
+on the mesh. This is what lets a row-sharded LM hidden cache that does not
+fit one chip (parallel/catalog.py) be *evaluated*, not just trained: the
+full (N, L, D) content cache never materializes on any single device; only
+the small (N, D) repr matrix is gathered at scoring time.
 """
 from typing import Callable, Dict, Optional
 
@@ -24,13 +33,17 @@ class ReprCache:
     """Holds item/user representation caches for one model+params."""
 
     def __init__(self, model, item_contents: Dict[str, jnp.ndarray],
-                 history: np.ndarray, page_size: int = 512):
+                 history: np.ndarray, page_size: int = 512,
+                 mesh=None):
         self.model = model
         self.item_contents = item_contents
         self.history = history  # (num_users, S) UNSET-padded
         self.page_size = page_size
+        self.mesh = mesh
         self.item_repr: Optional[jnp.ndarray] = None
         self.user_repr: Optional[jnp.ndarray] = None
+        self.num_items = next(iter(item_contents.values())).shape[0]
+        self.num_users = history.shape[0]
 
         self._item_page_fn = jax.jit(
             lambda params, contents: model.apply(
@@ -41,14 +54,21 @@ class ReprCache:
         self._score_fn = jax.jit(
             lambda params, u, i: model.apply(
                 params, u, i, method=model.score_cached))
+        self._sharded_item_fn = None
+        self._sharded_user_fn = None
+        self._placed_contents = None  # mesh mode: one-time sharded placement
 
     @property
     def active(self) -> bool:
         return self.item_repr is not None and self.user_repr is not None
 
     # ------------------------------------------------------------------ #
+    # single-device page loop                                            #
+    # ------------------------------------------------------------------ #
     def build_item_cache(self, params) -> jnp.ndarray:
-        num_items = next(iter(self.item_contents.values())).shape[0]
+        if self.mesh is not None:
+            return self._build_item_cache_sharded(params)
+        num_items = self.num_items
         P = min(self.page_size, _pad_ids(num_items, 8))
         total = _pad_ids(num_items, P)
         pages = []
@@ -62,9 +82,11 @@ class ReprCache:
 
     def build_user_cache(self, params) -> jnp.ndarray:
         assert self.item_repr is not None, "build_item_cache first"
+        if self.mesh is not None:
+            return self._build_user_cache_sharded(params)
         from legommenders_tpu.data.token_store import UNSET
 
-        num_users = self.history.shape[0]
+        num_users = self.num_users
         P = min(self.page_size, _pad_ids(num_users, 8))
         total = _pad_ids(num_users, P)
         pages = []
@@ -79,6 +101,120 @@ class ReprCache:
         self.user_repr = jnp.concatenate(pages, axis=0)[:num_users]
         return self.user_repr
 
+    # ------------------------------------------------------------------ #
+    # mesh-sharded builds (shard_map over the catalog axes)              #
+    # ------------------------------------------------------------------ #
+    def _catalog_ndev(self) -> int:
+        from legommenders_tpu.parallel.catalog import catalog_axes
+        return int(np.prod([self.mesh.shape[a]
+                            for a in catalog_axes(self.mesh)]))
+
+    def _build_item_cache_sharded(self, params) -> jnp.ndarray:
+        """Each device encodes its local catalog rows; item_repr stays
+        row-sharded over the catalog axes (padded to a device multiple).
+        Inside the shard, rows page through a lax.map at `page_size` so
+        per-device activation memory stays bounded."""
+        from jax.sharding import PartitionSpec as P
+        from legommenders_tpu.parallel.catalog import (
+            catalog_axes, place_catalog, _shard_map,
+        )
+
+        mesh = self.mesh
+        axes = catalog_axes(mesh)
+        if getattr(self, "_placed_contents", None) is None:
+            # one-time placement: the (possibly multi-GB) content columns
+            # are row-sharded once and reused across epoch evals
+            self._placed_contents = place_catalog(self.item_contents, mesh)
+        placed, n = self._placed_contents
+        if self._sharded_item_fn is None:
+            model, page = self.model, self.page_size
+
+            def local_encode(params, local):
+                first = next(iter(local.values()))
+                m = first.shape[0]           # local rows (static)
+                k = _pad_ids(m, page) // page
+                pad = k * page - m
+                paged = {}
+                for c, a in local.items():
+                    if pad:
+                        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+                        a = jnp.pad(a, widths)
+                    paged[c] = a.reshape((k, page) + a.shape[1:])
+
+                def one(page_contents):
+                    return model.apply(params, page_contents,
+                                       method=model.encode_item_page)
+
+                out = jax.lax.map(one, paged)
+                out = out.reshape((k * page,) + out.shape[2:])
+                return out[:m]
+
+            in_specs = (P(), {c: P(axes, *([None] * (a.ndim - 1)))
+                              for c, a in placed.items()})
+            self._sharded_item_fn = jax.jit(_shard_map(
+                local_encode, mesh, in_specs, P(axes)))
+        self.item_repr = self._sharded_item_fn(params, placed)
+        return self.item_repr
+
+    def _build_user_cache_sharded(self, params) -> jnp.ndarray:
+        """User rows sharded over the catalog axes; each device gathers its
+        users' clicks from the (replicated-on-entry) item reprs and runs
+        the user op locally. user_repr stays row-sharded."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from legommenders_tpu.data.token_store import UNSET
+        from legommenders_tpu.parallel.catalog import (
+            catalog_axes, _shard_map,
+        )
+
+        mesh = self.mesh
+        axes = catalog_axes(mesh)
+        n_dev = self._catalog_ndev()
+        num_users = self.num_users
+        total = _pad_ids(num_users, n_dev)
+        rows = np.clip(np.arange(total), 0, num_users - 1)
+        hist = self.history[rows]
+        mask = (hist != UNSET).astype(np.int32)
+        safe = np.where(hist == UNSET, 0, hist).astype(np.int32)
+        sh = NamedSharding(mesh, P(axes, None))
+        safe_d = jax.device_put(jnp.asarray(safe), sh)
+        mask_d = jax.device_put(jnp.asarray(mask), sh)
+
+        if self._sharded_user_fn is None:
+            model, page = self.model, self.page_size
+
+            def local_users(params, item_repr, safe, mask):
+                m = safe.shape[0]
+                k = _pad_ids(m, page) // page
+                pad = k * page - m
+                if pad:
+                    safe = jnp.pad(safe, ((0, pad), (0, 0)))
+                    mask = jnp.pad(mask, ((0, pad), (0, 0)))
+                safe = safe.reshape(k, page, -1)
+                mask = mask.reshape(k, page, -1)
+
+                def one(args):
+                    s, mk = args
+                    clicks = jnp.take(item_repr, s, axis=0)
+                    return model.apply(params, clicks, mk,
+                                       method=model.encode_user)
+
+                out = jax.lax.map(one, (safe, mask))
+                out = out.reshape((k * page,) + out.shape[2:])
+                return out[:m]
+
+            # item_repr enters replicated (P()): the (N, D) matrix is the
+            # only catalog-sized tensor gathered — 65k x 64 bf16 = 8 MB,
+            # vs the multi-GB content cache that stays sharded
+            in_specs = (P(), P(), P(axes, None), P(axes, None))
+            self._sharded_user_fn = jax.jit(_shard_map(
+                local_users, mesh, in_specs, P(axes)))
+        # clip sharded item_repr gather ids: padded item rows (>= num_items)
+        # are never referenced because history ids < num_items
+        self.user_repr = self._sharded_user_fn(
+            params, self.item_repr, safe_d, mask_d)
+        return self.user_repr
+
+    # ------------------------------------------------------------------ #
     def cache(self, params):
         self.build_item_cache(params)
         self.build_user_cache(params)
@@ -91,10 +227,17 @@ class ReprCache:
 
     # ------------------------------------------------------------------ #
     def make_cached_eval_step(self) -> Callable:
-        """jitted step(params, item_repr, user_repr, batch) -> (B, K) scores."""
+        """jitted step(params, item_repr, user_repr, batch) -> (B, K) scores.
+
+        Works with replicated OR row-sharded repr matrices: the gathers are
+        plain jnp.take, GSPMD inserts the collective gathers when reprs are
+        mesh-sharded (exactness of sharded-repr scoring is asserted by
+        tests/test_sharded_eval.py)."""
 
         def step(params, item_repr, user_repr, batch):
-            u = jnp.take(user_repr, batch["user_id"], axis=0)       # (B, D)
+            u = jnp.take(user_repr,
+                         jnp.clip(batch["user_id"], 0,
+                                  user_repr.shape[0] - 1), axis=0)  # (B, D)
             i = jnp.take(item_repr,
                          jnp.clip(batch["candidates"], 0,
                                   item_repr.shape[0] - 1), axis=0)  # (B, K, D)

@@ -111,11 +111,19 @@ def load_sharded(path: str, params_template, opt_state_template=None):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
     target = {"params": params_template}
     if opt_state_template is not None:
         target["opt_state"] = opt_state_template
-    restored = ckptr.restore(path, target)
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, target)
+    else:
+        # model-only restore from a checkpoint that also holds opt_state:
+        # partial restore of just the params subtree (the templates'
+        # shardings are honored via construct_restore_args)
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+        restored = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+            item=target, restore_args=restore_args, partial_restore=True))
     meta = None
     if os.path.isfile(path + ".meta.json"):
         meta = json_load(path + ".meta.json")

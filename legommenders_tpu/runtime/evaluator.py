@@ -1,12 +1,21 @@
-"""Shared evaluation driver: full-forward or cached fast-eval scoring.
+"""Shared evaluation driver: device-resident cached scoring or full-forward.
 
 Parity: reference base_lego.py:349-427 (base_evaluate/evaluate) + the
 fast-eval cache flow of §3.3 (tester.py:54-77). Scores for padded tail rows
-are dropped via the batch validity mask before metric computation.
+are dropped before metric computation.
+
+TPU redesign of the hot loop: the reference iterates host mini-batches and
+round-trips scores per batch (base_lego.py:349-398). Here, once the repr
+caches are built, the WHOLE phase's (user, candidate) index columns already
+live in HBM; one jitted lax.scan gathers reprs and scores every interaction
+page on device, and the host sees a single (n,) score transfer at the end.
+The host-batched `collect_scores` path remains for full-forward (uncached)
+models and per-batch latency measurement (tester.py --latency).
 """
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from legommenders_tpu.data.pipeline import EvalBatcher, Prefetcher
@@ -17,18 +26,24 @@ from legommenders_tpu.utils.timer import Timer
 
 def collect_scores(step_fn, params, batcher: EvalBatcher,
                    to_device=None, latency_timer: Optional[Timer] = None,
-                   max_batches: int = 0, needed_keys=None):
+                   max_batches: int = 0, needed_keys=None, mesh=None):
     """Run `step_fn(params, batch) -> (B, 1) scores` over a batcher; returns
     (scores, labels, groups) for valid rows. `needed_keys` limits what is
     shipped to the device (the cached fast-eval path only reads
-    user_id/candidates — skipping the history matrix halves eval H2D)."""
-    import jax.numpy as jnp
+    user_id/candidates — skipping the history matrix halves eval H2D).
+    With a mesh, batches are placed replicated so they compose with
+    mesh-sharded params."""
+    place = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        place = lambda v: jax.device_put(jnp.asarray(v), repl)
 
     device_scores, valids, labels_all, groups_all = [], [], [], []
     n = 0
     prefetcher = Prefetcher(batcher.epoch())
     for batch in prefetcher:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
+        jb = {k: place(v) for k, v in batch.items()
               if k not in ("label", "group", "valid")
               and (needed_keys is None or k in needed_keys)}
         if latency_timer is not None:
@@ -47,24 +62,61 @@ def collect_scores(step_fn, params, batcher: EvalBatcher,
         if max_batches and n >= max_batches:
             prefetcher.close()
             break
-    scores = np.asarray(jnp.concatenate(device_scores))
+    scores = np.concatenate([np.asarray(s) for s in device_scores])
     valid = np.concatenate(valids)
     return (scores[valid],
             np.concatenate(labels_all)[valid],
             np.concatenate(groups_all)[valid])
 
 
+class _DevicePhase:
+    """One eval phase's interaction columns, device-resident and paged:
+    (k, page) index matrices for the scan, labels/groups on host for the
+    metric pool."""
+
+    def __init__(self, data, phase: str, page: int, mesh=None):
+        cm = data.cm
+        store = data.inters[phase]
+        users = store[cm.user_col].astype(np.int64)
+        items = store[cm.item_col].astype(np.int64)
+        self.labels = store[cm.label_col].astype(np.float32)
+        self.groups = (store[cm.group_col].astype(np.int64)
+                       if cm.group_col in store else users)
+        self.n = len(users)
+        page = min(page, max(8, self.n))
+        k = -(-self.n // page)
+        pad = k * page - self.n
+        u = np.pad(users, (0, pad)).astype(np.int32).reshape(k, page)
+        i = np.pad(items, (0, pad)).astype(np.int32).reshape(k, page)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from legommenders_tpu.parallel.mesh import DP_AXIS
+            sh = NamedSharding(mesh, P(None, DP_AXIS))
+            self.u_pages = jax.device_put(jnp.asarray(u), sh)
+            self.i_pages = jax.device_put(jnp.asarray(i), sh)
+        else:
+            self.u_pages = jnp.asarray(u)
+            self.i_pages = jnp.asarray(i)
+
+
 class Evaluator:
+    # rows scored per scan step of the device-resident path; one compile,
+    # ~7 steps for the 1.75M-row MIND test sweep
+    DEVICE_EVAL_PAGE = 1 << 18
+
     def __init__(self, model, item_contents, data, batch_size: int,
-                 metrics, cache=None):
+                 metrics, cache=None, mesh=None):
         self.model = model
         self.item_contents = item_contents
         self.data = data
         self.batch_size = batch_size
         self.pool = MetricPool.parse(list(metrics))
         self.cache = cache
+        self.mesh = mesh
         self._full_step = None
         self._cached_step = None
+        self._device_phases: Dict[str, _DevicePhase] = {}
+        self._scorer = None
 
     def _get_full_step(self):
         if self._full_step is None:
@@ -76,22 +128,73 @@ class Evaluator:
             self._cached_step = self.cache.make_cached_eval_step()
         return self._cached_step
 
+    # ------------------------------------------------------------------ #
+    # device-resident cached scoring                                     #
+    # ------------------------------------------------------------------ #
+    def _get_device_phase(self, phase: str) -> _DevicePhase:
+        if phase not in self._device_phases:
+            self._device_phases[phase] = _DevicePhase(
+                self.data, phase, self.DEVICE_EVAL_PAGE, self.mesh)
+        return self._device_phases[phase]
+
+    def _get_scorer(self):
+        if self._scorer is None:
+            model = self.model
+
+            def score_all(params, item_repr, user_repr, u_pages, i_pages):
+                nu = user_repr.shape[0]
+                ni = item_repr.shape[0]
+
+                def body(carry, uv):
+                    u_ids, i_ids = uv
+                    u = jnp.take(user_repr,
+                                 jnp.clip(u_ids, 0, nu - 1), axis=0)
+                    i = jnp.take(item_repr,
+                                 jnp.clip(i_ids, 0, ni - 1),
+                                 axis=0)[:, None, :]
+                    s = model.apply(params, u, i,
+                                    method=model.score_cached)
+                    return carry, s.reshape(-1)
+
+                _, scores = jax.lax.scan(body, 0, (u_pages, i_pages))
+                return scores.reshape(-1)
+
+            self._scorer = jax.jit(score_all)
+        return self._scorer
+
+    def score_phase_device(self, params, phase: str) -> np.ndarray:
+        """Cached fast-eval over a whole phase with zero per-batch host
+        traffic; returns the (n,) score vector (one D2H transfer)."""
+        assert self.cache is not None and self.cache.active
+        ph = self._get_device_phase(phase)
+        scorer = self._get_scorer()
+        scores = scorer(params, self.cache.item_repr, self.cache.user_repr,
+                        ph.u_pages, ph.i_pages)
+        return np.asarray(scores)[:ph.n]
+
+    # ------------------------------------------------------------------ #
     def evaluate(self, params, phase: str,
                  latency_timer: Optional[Timer] = None,
                  use_cache: Optional[bool] = None,
                  max_batches: int = 0) -> Dict[str, float]:
-        batcher = EvalBatcher(self.data, phase, self.batch_size)
         use_cache = (self.cache is not None) if use_cache is None else use_cache
-        needed_keys = None
         if use_cache:
             self.cache.cache(params)
+            if latency_timer is None and not max_batches:
+                # hot path: whole-phase device scoring
+                ph = self._get_device_phase(phase)
+                scores = self.score_phase_device(params, phase)
+                return self.pool(scores, ph.labels, ph.groups)
             cached = self._get_cached_step()
             item_repr, user_repr = self.cache.item_repr, self.cache.user_repr
             step = lambda p, b: cached(p, item_repr, user_repr, b)
             needed_keys = ("user_id", "candidates")
         else:
             step = self._get_full_step()
+            needed_keys = None
+        batcher = EvalBatcher(self.data, phase, self.batch_size)
         scores, labels, groups = collect_scores(
             step, params, batcher, latency_timer=latency_timer,
-            max_batches=max_batches, needed_keys=needed_keys)
+            max_batches=max_batches, needed_keys=needed_keys,
+            mesh=self.mesh)
         return self.pool(scores, labels, groups)

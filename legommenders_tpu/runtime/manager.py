@@ -47,12 +47,30 @@ class Manager:
             self.data, model_cfg or {}, embed_cfg, dtype=dtype)
         self.model, self.contents, self.hub = self.lego_cfg.build()
 
+        # first-class multi-device policy (exp.policy.mesh — config-only
+        # composition like everything else, reference trainer.py:299-313;
+        # the mesh itself has no reference counterpart, SURVEY §2.9)
+        self.mesh = None
+        self.catalog_parallel = False
+        mesh_cfg = self.policy.get("mesh")
+        if mesh_cfg:
+            from legommenders_tpu.parallel.mesh import mesh_from_policy
+            self.mesh = mesh_from_policy(mesh_cfg)
+            if isinstance(mesh_cfg, dict):
+                self.catalog_parallel = bool(
+                    mesh_cfg.get("catalog_parallel"))
+                self.mesh_min_rows = int(
+                    mesh_cfg.get("min_rows_to_shard") or 0)
+            else:
+                self.mesh_min_rows = 0
+
         self.cache = None
         if self.lego_cfg.use_fast_eval and self._caching_allowed():
             self.cache = ReprCache(
                 self.model, self.contents.columns,
                 self.data.history_matrix(),
-                page_size=self.lego_cfg.cache_page_size)
+                page_size=self.lego_cfg.cache_page_size,
+                mesh=self.mesh)
 
     def prepare_lm_cache(self, params, regenerate: bool = False) -> bool:
         """Layer-split LM caching: if the item operator is an LMOperator
@@ -111,7 +129,7 @@ class Manager:
     def evaluator(self) -> Evaluator:
         return Evaluator(self.model, self.contents.columns, self.data,
                          self.eval_batch_size, self.metrics,
-                         cache=self.cache)
+                         cache=self.cache, mesh=self.mesh)
 
     def load_lm_weights(self, params, log=None):
         """Port HF checkpoint weights into the LM slices (reference:

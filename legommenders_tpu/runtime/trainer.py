@@ -129,10 +129,36 @@ class Trainer:
         if self.m.prepare_lm_cache(self.params):
             self.log.info("LM layer-split cache prepared")
         self.opt_state = self.optimizer.init(self.params)
+        if self.m.mesh is not None:
+            self._place_on_mesh()
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(self.params))
         self.log.info(f"initialized {n_params/1e6:.2f}M params")
         return self.params
+
+    def _place_on_mesh(self):
+        """Distribute params + optimizer state on the policy mesh: tables
+        row-sharded / LM slices TP-sharded over mp with the Adam moments
+        following the param shardings; catalog-parallel keeps params
+        replicated (the shard_map enters them with P() specs)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from legommenders_tpu.parallel.mesh import params_shardings
+        from legommenders_tpu.parallel.train import place_opt_state
+
+        mesh = self.m.mesh
+        if self.m.catalog_parallel:
+            repl = NamedSharding(mesh, P())
+            p_sh = jax.tree_util.tree_map(lambda _: repl, self.params)
+        else:
+            p_sh = params_shardings(self.params, mesh,
+                                    self.m.mesh_min_rows)
+        self.params = jax.tree_util.tree_map(
+            jax.device_put, self.params, p_sh)
+        self.opt_state = place_opt_state(
+            self.optimizer, self.opt_state, p_sh, mesh)
+        self.log.info(
+            f"mesh policy active: {dict(mesh.shape)}"
+            + (" (catalog-parallel)" if self.m.catalog_parallel else ""))
 
     # ------------------------------------------------------------------ #
     def dev(self) -> float:
@@ -151,6 +177,11 @@ class Trainer:
         jitted = self._dev_loss_fn
         rng = jax.random.PRNGKey(0)
         meaner = Meaner()
+        conv = jnp.asarray
+        if self.m.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(self.m.mesh, P())
+            conv = lambda v: jax.device_put(jnp.asarray(v), repl)
         from legommenders_tpu.data.pipeline import TrainBatcher
         batcher = TrainBatcher(
             self.m.data, int(self.m.policy["batch_size"]),
@@ -158,7 +189,7 @@ class Trainer:
             use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
             seed=self.seed, phase="dev")
         for batch in batcher.epoch(shuffle=False):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb = {k: conv(v) for k, v in batch.items()}
             meaner.add(float(jitted(self.params, jb, rng)))
         return meaner.mean
 
@@ -167,10 +198,37 @@ class Trainer:
         policy = self.m.policy
         if self.params is None:
             self.init()
+        mesh = self.m.mesh
         device_batching = bool(policy.get("device_batching"))
-        if device_batching:
+        place_batch = None
+        if mesh is not None:
+            bs = int(policy["batch_size"])
+            n_dp = mesh.shape.get("dp", 1)
+            if bs % n_dp:
+                raise SystemExit(
+                    f"policy.batch_size {bs} must divide by mesh dp={n_dp}")
+        if mesh is not None and self.m.catalog_parallel:
+            # catalog-parallel: item catalog / LM cache row-sharded over
+            # every mesh device, encode cost and cache memory scale 1/n_dev
+            # (parallel/catalog.py; the 7B-cache-won't-fit answer)
+            from legommenders_tpu.parallel.catalog import (
+                make_catalog_parallel_step, place_catalog,
+            )
+            from legommenders_tpu.parallel.mesh import shard_batch
+            placed_contents, _ = place_catalog(
+                dict(self.m.contents.columns), mesh)
+            raw_step = make_catalog_parallel_step(
+                self.m.model, self.optimizer, mesh,
+                use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
+                seed=self.seed, rng_impl=policy.get("rng_impl"))
+            step_fn = (lambda p, o, jb, i:
+                       raw_step(p, o, placed_contents, jb, i))
+            place_batch = lambda b: shard_batch(b, mesh)
+            device_batching = False
+        elif device_batching:
             # device-resident substrate: per-step host traffic is just the
-            # permuted row indices (data/device_pipeline.py)
+            # permuted row indices (data/device_pipeline.py); composes with
+            # the mesh policy (idx dp-sharded, substrate replicated)
             from legommenders_tpu.data.device_pipeline import (
                 DeviceTrainPipeline,
             )
@@ -183,7 +241,17 @@ class Trainer:
             step_fn = dpipe.make_fused_train_step(
                 self.m.model, self.m.contents.columns, self.optimizer,
                 seed=self.seed,
-                rng_impl=str(policy.get("rng_impl") or default_rng_impl()))
+                rng_impl=str(policy.get("rng_impl") or default_rng_impl()),
+                mesh=mesh)
+        elif mesh is not None:
+            from legommenders_tpu.parallel.train import (
+                make_sharded_train_step_folded,
+            )
+            step_fn, _pp, place_batch = make_sharded_train_step_folded(
+                self.m.model, self.m.contents.columns, self.optimizer,
+                mesh, self.m.lego_cfg.use_neg_sampling, seed=self.seed,
+                rng_impl=policy.get("rng_impl"),
+                min_rows_to_shard=self.m.mesh_min_rows)
         else:
             from legommenders_tpu.runtime.steps import make_train_step_folded
             step_fn = make_train_step_folded(
@@ -211,9 +279,12 @@ class Trainer:
 
                 def device_batches():
                     # convert to device arrays inside the prefetch thread
-                    # so the H2D transfer overlaps the train step
+                    # so the H2D transfer overlaps the train step; under a
+                    # mesh policy this places rows dp-sharded
+                    conv = place_batch or (
+                        lambda b: {k: jnp.asarray(v) for k, v in b.items()})
                     for b in batcher.epoch():
-                        yield {k: jnp.asarray(v) for k, v in b.items()}
+                        yield conv(b)
 
                 step_inputs = Prefetcher(device_batches(), depth=4)
             if epoch_batch:
