@@ -5,11 +5,17 @@
 PY ?= python
 CPU := JAX_PLATFORM_NAME=cpu
 
-.PHONY: ci test smoke bench-smoke scaling lint
+.PHONY: ci test test-all smoke bench-smoke scaling lint
 
-ci: test smoke bench-smoke scaling
+ci: test-all smoke bench-smoke scaling
 
+# fast set (<5 min): excludes the multi-minute `slow`-marked suites
+# (parallel/catalog/lm_ops/golden/multihost/CLI-subprocess)
 test:
+	$(CPU) $(PY) -m pytest tests/ -x -q -m "not slow"
+
+# the full suite (what CI runs)
+test-all:
 	$(CPU) $(PY) -m pytest tests/ -x -q
 
 # end-to-end CLI smoke: process -> train 2 epochs on synthetic

@@ -1,48 +1,51 @@
 """Benchmark: train throughput (impressions/sec/chip) on the flagship model.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "rows"}.
 Baseline: the reference handbook NAML run implies ~15k train samples/sec on
 Apple-M MPS (BASELINE.md) — the only concrete published number.
+
+The headline is a two-row story (VERDICT r3 item 7): the realistic
+optimizer batch (16,384) and the amortized large batch (32,768 — the
+fixture's positive-row count caps it below 65,536); the fixed per-step
+catalog encode + embedding gradient are what the larger batch amortizes.
+Timing hygiene: the full step is timed over 3 independent repeats
+(median + spread reported); opt_ms is the clamped median difference, so a
+physically impossible negative time can no longer be printed.
 """
 import json
+import statistics
 import sys
 import time
 
 import numpy as np
 
 
-def main(argv=()):
+def _timed_runs(fn, n_steps, repeats=3):
+    """fn(step_idx) must leave device work outstanding; returns list of
+    per-step means (seconds), one per repeat."""
+    import jax
+    means = []
+    k = 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_steps):
+            k += 1
+            out = fn(k)
+        jax.block_until_ready(out)
+        means.append((time.perf_counter() - t0) / n_steps)
+    return means
+
+
+def bench_one(data, model_cfg, batch_size, n_steps=100):
     import jax
     import jax.numpy as jnp
     import optax
 
-    from legommenders_tpu.parallel.mesh import enable_compilation_cache
-    enable_compilation_cache()
-
-    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
     from legommenders_tpu.data.device_pipeline import DeviceTrainPipeline
     from legommenders_tpu.runtime.manager import Manager
     from legommenders_tpu.runtime.steps import init_params
 
-    # MIND-small scale: 65k-item catalog, NAML geometry from the reference
-    # handbook run (hidden 64; TPU-friendly batch 4096)
-    data = SyntheticProcessor(
-        num_items=65000, num_users=20000, title_len=30, history_len=50,
-        vocab_size=30000, inters_per_user=12).as_lego_data()
-    model_cfg = {
-        "name": "NAML",
-        "meta": {"item": "CNN", "user": "Ada", "predictor": "Dot"},
-        "config": {"use_item_content": True, "hidden_size": 64,
-                   "use_neg_sampling": True, "neg_count": 4,
-                   "full_catalog_encode": "on",
-                   "item_config": {"dropout": 0.1, "kernel_size": 3}},
-    }
-    # batch sweep on the v5e (catalog encode + embedding grad are fixed
-    # per-step costs): 154k @ 8192, 249k @ 16384, 367k @ 32768 impr/s;
-    # 65536 exceeds the fixture's positive-row count
-    from legommenders_tpu.utils.function import parse_cli
-    cli = parse_cli(list(argv))
-    batch_size = int(cli.get("batch_size") or 32768)
     m = Manager({}, model_cfg,
                 exp_cfg={"policy": {"batch_size": batch_size,
                                     "dtype": "bf16"}}, data=data)
@@ -69,50 +72,76 @@ def main(argv=()):
             for idx in dp.epoch_indices():
                 yield idx
 
-    n_steps = 200
     stream = index_stream()
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, loss = step(params, opt_state,
-                                       jnp.asarray(next(stream)), i + 1)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    state = [params, opt_state]
 
-    samples_per_sec = n_steps * batch_size / dt
-    step_s = dt / n_steps
+    def one_step(i):
+        state[0], state[1], loss = step(state[0], state[1],
+                                        jnp.asarray(next(stream)), i)
+        return loss
+
+    step_means = _timed_runs(one_step, n_steps, repeats=3)
+    params = state[0]
+    step_s = statistics.median(step_means)
+    spread = max(step_means) - min(step_means)
 
     # ---- honest breakdown: where the step time goes -------------------
     # fwd-only and fwd+bwd variants of the same fused graph, timed
-    # separately; opt = full step minus fwd+bwd (adam + embedding update)
+    # separately; opt = clamped(step - fwd+bwd) (adam + embedding update)
     fwd_t = dp.time_loss_only(m.model, m.contents.columns, params,
                               jnp.asarray(idx0), n_steps=50)
     fb_t = dp.time_grad_only(m.model, m.contents.columns, params,
                              jnp.asarray(idx0), n_steps=50)
 
-    # hardware-grounded estimates at the bench geometry (catalog mode):
-    # every step encodes the full 65k catalog once (CNN d=64) + embeds
-    # 1.95M catalog tokens; dominant traffic = embedding fwd gather +
-    # bwd segment-sum over (N*L, 64) f32 rows
-    N, L, D = 65000, 30, 64
-    tok_bytes = N * L * D * 4
-    flops = (
-        # catalog CNN encode fwd (k=3): N*L*(2*k*D*D) + additive attn
-        N * L * 2 * 3 * D * D
-        # user Ada attention + dot predictor (B rows, S=50 clicks, K=5)
-        + batch_size * (50 + 5) * 2 * D * D
-    ) * 3  # fwd + ~2x bwd
+    return {
+        "batch_size": batch_size,
+        "impressions_per_sec": round(batch_size / step_s, 1),
+        "step_ms": round(step_s * 1e3, 2),
+        "step_ms_spread_3runs": round(spread * 1e3, 2),
+        "fwd_ms": round(fwd_t * 1e3, 2),
+        "bwd_ms": round((fb_t - fwd_t) * 1e3, 2),
+        "opt_ms": round(max(0.0, step_s - fb_t) * 1e3, 2),
+        "opt_ms_raw_delta": round((step_s - fb_t) * 1e3, 2),
+    }
+
+
+def main(argv=()):
+    import jax
+
+    from legommenders_tpu.parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
+
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.utils.function import parse_cli
+
+    # MIND-small scale: 65k-item catalog, NAML geometry from the reference
+    # handbook run (hidden 64)
+    data = SyntheticProcessor(
+        num_items=65000, num_users=20000, title_len=30, history_len=50,
+        vocab_size=30000, inters_per_user=12).as_lego_data()
+    model_cfg = {
+        "name": "NAML",
+        "meta": {"item": "CNN", "user": "Ada", "predictor": "Dot"},
+        "config": {"use_item_content": True, "hidden_size": 64,
+                   "use_neg_sampling": True, "neg_count": 4,
+                   "full_catalog_encode": "on",
+                   "item_config": {"dropout": 0.1, "kernel_size": 3}},
+    }
+    cli = parse_cli(list(argv))
+    if cli.get("batch_size"):
+        batches = [int(cli["batch_size"])]
+    else:
+        batches = [16384, 32768]   # realistic + amortized
+    rows = [bench_one(data, model_cfg, b) for b in batches]
+
+    best = max(rows, key=lambda r: r["impressions_per_sec"])
     baseline = 15000.0  # reference MPS impressions/sec (BASELINE.md)
     print(json.dumps({
         "metric": "train_impressions_per_sec_per_chip",
-        "value": round(samples_per_sec, 1),
+        "value": best["impressions_per_sec"],
         "unit": "impressions/s",
-        "vs_baseline": round(samples_per_sec / baseline, 3),
-        "step_ms": round(step_s * 1e3, 2),
-        "fwd_ms": round(fwd_t * 1e3, 2),
-        "bwd_ms": round((fb_t - fwd_t) * 1e3, 2),
-        "opt_ms": round((step_s - fb_t) * 1e3, 2),
-        "model_tflops_per_s_est": round(flops / step_s / 1e12, 2),
-        "embed_grad_gbytes_per_step": round(tok_bytes / 1e9, 2),
+        "vs_baseline": round(best["impressions_per_sec"] / baseline, 3),
+        "rows": rows,
     }))
 
 

@@ -100,8 +100,18 @@ class Legommender(nn.Module):
             # baked from (same object or same content hash) — a post-build
             # column swap falls back to the plain lookup
             from legommenders_tpu.models.embedding import PlannedTables
+            from legommenders_tpu.ops import catalog_grad
             live = {c: p for c, p in self.catalog_plans.items()
                     if c in flat and p.matches_source(flat[c])}
+            dead = [c for c in self.catalog_plans
+                    if c in flat and c not in live]
+            catalog_grad.record_trace(live, dead)  # trace-time, not per-step
+            if dead:
+                from legommenders_tpu.utils.logging import get_logger
+                get_logger("legommender").warning(
+                    f"catalog-grad plan INACTIVE for columns {dead}: "
+                    f"runtime column is not the baked matrix — embedding "
+                    f"backward falls back to the plain lookup transpose")
             if live:
                 eh = PlannedTables(self.eh, live)
         emb, mask = self.item_inputer.get_embeddings(eh, flat, training)

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 
 class LoRADense(nn.Module):
     """Dense whose base kernel can be frozen with a trainable low-rank
-    delta: y = x @ (W + B A / ?scale) + b."""
+    delta: y = x @ (W + B A / ?scale) + b.
+
+    NB: `ProjParams` below declares this exact param tree (names, shapes,
+    initializers) for the fused-QKV path — any change to the params
+    declared here MUST be mirrored there (test_fused_qkv_parity pins the
+    value equality)."""
 
     features: int
     lora_r: int = 0
@@ -122,13 +127,15 @@ def _fused_qkv_proj(x, specs, *, freeze_base, dtype, lora_alpha,
     kernels (exact math — each output column block is the same dot product
     as the per-projection GEMM), then add the LoRA low-rank deltas.
 
-    specs: [(name, features, lora_r, use_bias)] in q, k, v order. The three
-    per-projection dispatches at news-rec token counts leave the MXU idle
-    between calls; one (D, sum(features)) GEMM amortizes that (ROADMAP
-    perf #2 "fused QKV"). One shared lora-dropout mask is drawn for all
-    LoRA'd projections (the unfused path draws one per projection — both
-    are valid Bernoulli(p) dropout; parity tests run deterministic).
+    specs: [(name, features, lora_r, use_bias)] in q, k, v order (use_bias
+    must be homogeneous across specs — asserted). The three per-projection
+    dispatches at news-rec token counts leave the MXU idle between calls;
+    one (D, sum(features)) GEMM amortizes that (ROADMAP perf #2 "fused
+    QKV"). Each LoRA'd projection draws its OWN dropout mask (named per
+    spec), matching the unfused path's independent per-projection draws.
     No reference counterpart (torch/HF keep separate q/k/v Linears)."""
+    assert len({ub for (_, _, _, ub) in specs}) == 1, \
+        f"fused QKV requires homogeneous use_bias, got {specs}"
     D = x.shape[-1]
     parts = [ProjParams(f, r, use_bias=ub, name=n)(D)
              for (n, f, r, ub) in specs]
@@ -144,17 +151,16 @@ def _fused_qkv_proj(x, specs, *, freeze_base, dtype, lora_alpha,
         y = y + bias.astype(dtype)
     sizes = [f for (_, f, _, _) in specs]
     outs = list(jnp.split(y, _split_points(sizes), axis=-1))
-    if any(r > 0 for (_, _, r, _) in specs):
-        h = x
-        if lora_dropout > 0:
-            h = nn.Dropout(lora_dropout)(h, deterministic=not training)
-        hd = h.astype(dtype)
-        for i, (_, _, r, _) in enumerate(specs):
-            if r > 0:
-                a, b = parts[i][2], parts[i][3]
-                outs[i] = outs[i] + jnp.einsum(
-                    "...d,dr,rf->...f", hd, a.astype(dtype),
-                    b.astype(dtype)) * (lora_alpha / r)
+    for i, (n, _, r, _) in enumerate(specs):
+        if r > 0:
+            h = x
+            if lora_dropout > 0:
+                h = nn.Dropout(lora_dropout, name=f"lora_drop_{n}")(
+                    h, deterministic=not training)
+            a, b = parts[i][2], parts[i][3]
+            outs[i] = outs[i] + jnp.einsum(
+                "...d,dr,rf->...f", h.astype(dtype), a.astype(dtype),
+                b.astype(dtype)) * (lora_alpha / r)
     return outs
 
 

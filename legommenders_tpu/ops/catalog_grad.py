@@ -51,6 +51,19 @@ import numpy as np
 from legommenders_tpu.data.token_store import UNSET
 
 
+# Trace-time activation report (VERDICT r3 weak #7 guard): every jit trace
+# of the catalog branch records which plan columns were LIVE (gather-reduce
+# backward active) vs DEAD (fell back to the plain lookup transpose).
+# Written by Legommender._encode_flat; read by tests/benches to assert the
+# fast embedding backward is actually engaged in their configuration.
+last_trace = {"live": (), "dead": ()}
+
+
+def record_trace(live, dead):
+    last_trace["live"] = tuple(live)
+    last_trace["dead"] = tuple(dead)
+
+
 def _ids_md5(ids) -> bytes:
     return hashlib.md5(
         np.ascontiguousarray(np.asarray(ids), dtype=np.int64)).digest()

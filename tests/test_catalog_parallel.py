@@ -12,6 +12,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from `make test`, run by `make ci`
+
 sys.path.insert(0, "/root/repo")
 
 from legommenders_tpu.parallel.catalog import (

@@ -9,6 +9,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from `make test`, run by `make ci`
+
 REPO = "/root/repo"
 ENV = {**os.environ, "JAX_PLATFORM_NAME": "cpu"}
 

@@ -12,6 +12,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from `make test`, run by `make ci`
+
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference"

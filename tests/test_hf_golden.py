@@ -12,6 +12,8 @@ checkpoint (no-egress image).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from `make test`, run by `make ci`
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

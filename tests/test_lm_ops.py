@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from `make test`, run by `make ci`
+
 from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
 from legommenders_tpu.data.pipeline import TrainBatcher
 from legommenders_tpu.models.lego_config import LegoConfig

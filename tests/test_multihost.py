@@ -8,6 +8,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from `make test`, run by `make ci`
+
 WORKER = textwrap.dedent("""
     import sys, os
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"

@@ -6,6 +6,7 @@ import os
 import numpy as np
 import pytest
 
+
 from legommenders_tpu.utils.registry import PROCESSORS
 import legommenders_tpu.data.processors  # noqa: F401
 
@@ -136,6 +137,7 @@ def test_oncemind_processor(fake_mind, tmp_path):
     assert not (train_imps & set(range(1, 10)))
 
 
+@pytest.mark.slow
 def test_mind_end_to_end_training(fake_mind, tmp_path):
     """process -> data config -> Manager -> a few train steps + eval."""
     import jax.numpy as jnp
@@ -231,6 +233,7 @@ def test_prompt_columns(fake_mind, tmp_path, rng):
     assert items.vocab_name("prompt@fakelm") == "fakelm"
 
 
+@pytest.mark.slow
 def test_prompt_columns_train(fake_mind, tmp_path):
     """Prompt columns compose through ConcatInputer in a real model."""
     import jax.numpy as jnp
@@ -262,6 +265,7 @@ def test_prompt_columns_train(fake_mind, tmp_path):
     assert np.isfinite(np.asarray(scores)).all()
 
 
+@pytest.mark.slow
 def test_tokenizer_resolution(tmp_path, fake_mind):
     """data/tokenizers.resolve: glove file + missing-HF error paths, and
     process.py end-to-end with a glove tokenizer spec."""
@@ -293,6 +297,7 @@ def test_tokenizer_resolution(tmp_path, fake_mind):
     assert "title@glove" in out.stdout
 
 
+@pytest.mark.slow
 def test_xmind_cli_tokenizer(fake_mind, tmp_path):
     """process.py exposes the xMIND tokenizer (reference re-tokenizes all
     languages with one HF tokenizer, xmind_processor.py:38-60): --tokenizers

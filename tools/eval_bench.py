@@ -1,0 +1,98 @@
+"""Evaluator wall-clock at MIND-small scale (VERDICT r3 item 2).
+
+Times the REAL Evaluator (cache build -> whole-phase device scoring -> one
+D2H -> MetricPool) on the golden-run fixture geometry: 65k items, 50k
+users, 1.75M test interactions. Reference counterpart being beaten:
+base_lego.py:349-398 host-batched fast-eval loop (the round-3 framework
+did 49.8 s / 1.75M rows because data/pipeline.py assembled numpy batches
+per step; this path ships zero per-batch host traffic).
+
+Run on the real chip:   timeout 900 python tools/eval_bench.py
+CPU (for smoke):        JAX_PLATFORM_NAME=cpu python tools/eval_bench.py --small
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    small = "--small" in sys.argv
+    import jax
+    import jax.numpy as jnp
+    from legommenders_tpu.parallel.mesh import enable_compilation_cache
+    if not small:
+        enable_compilation_cache()
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.runtime.manager import Manager
+    from legommenders_tpu.runtime.steps import init_params
+
+    t0 = time.perf_counter()
+    if small:
+        data = SyntheticProcessor(
+            num_items=2000, num_users=500, title_len=30, history_len=50,
+            vocab_size=5000, inters_per_user=20).as_lego_data()
+    else:
+        # golden-run geometry: 50k users x 35 inters = 1.75M rows/split
+        data = SyntheticProcessor(
+            num_items=65000, num_users=50000, title_len=30, history_len=50,
+            vocab_size=20000, inters_per_user=35).as_lego_data()
+    build_s = time.perf_counter() - t0
+
+    model_cfg = {
+        "meta": {"item": "CNN", "user": "Ada", "predictor": "Dot"},
+        "config": {"use_item_content": True, "hidden_size": 64,
+                   "item_config": {"dropout": 0.1}},
+    }
+    m = Manager({}, model_cfg,
+                exp_cfg={"policy": {"batch_size": 1024, "dtype": "bf16"}},
+                data=data)
+    tb = m.train_batcher(seed=0)
+    jb0 = {k: jnp.asarray(v) for k, v in next(tb.epoch(shuffle=False)).items()}
+    params = init_params(m.model, jb0, m.contents.columns, seed=0)
+    ev = m.evaluator()
+    n_rows = len(data.inters["test"][data.cm.label_col])
+
+    # --- first evaluate: includes compiles + cache build -----------------
+    t0 = time.perf_counter()
+    res = ev.evaluate(params, "test")
+    cold_s = time.perf_counter() - t0
+
+    # --- steady-state: what an epoch loop sees ---------------------------
+    # cache rebuild happens every eval (params change between epochs)
+    m.cache.clean()
+    t0 = time.perf_counter()
+    m.cache.cache(params)
+    jax.block_until_ready(m.cache.user_repr)
+    cache_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    scores = ev.score_phase_device(params, "test")
+    score_s = time.perf_counter() - t0
+
+    ph = ev._get_device_phase("test")
+    t0 = time.perf_counter()
+    res2 = ev.pool(scores, ph.labels, ph.groups)
+    metrics_s = time.perf_counter() - t0
+
+    total_s = cache_s + score_s + metrics_s
+    print(json.dumps({
+        "metric": "evaluator_rows_per_sec",
+        "value": round(n_rows / total_s, 0),
+        "unit": "rows/s",
+        "rows": n_rows,
+        "total_s": round(total_s, 3),
+        "cache_build_s": round(cache_s, 3),
+        "score_s": round(score_s, 4),
+        "metrics_s": round(metrics_s, 3),
+        "cold_first_eval_s": round(cold_s, 2),
+        "host_fixture_build_s": round(build_s, 1),
+        "gauc": round(float(res2.get("GAUC", float("nan"))), 4),
+        "backend": jax.default_backend(),
+    }))
+    assert abs(res["GAUC"] - res2["GAUC"]) < 1e-9
+
+
+if __name__ == "__main__":
+    main()
