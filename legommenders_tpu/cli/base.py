@@ -27,6 +27,17 @@ class BaseLego:
                 raise SystemExit(f"--{key} is required")
         cli.setdefault("exp", "default")
         self.cli = cli
+        # multi-host bring-up BEFORE any jax computation: after this,
+        # jax.devices() spans the pod and exp.policy.mesh lays its axes
+        # across hosts (TPU pods auto-detect with bare --distributed true;
+        # manual launches pass coordinator/num_processes/process_id)
+        if cli.get("coordinator") or cli.get("distributed"):
+            from legommenders_tpu.parallel.mesh import initialize_multihost
+            initialize_multihost(
+                cli.get("coordinator"),
+                int(cli["num_processes"]) if cli.get("num_processes") else None,
+                int(cli["process_id"]) if cli.get("process_id") is not None
+                else None)
         self.cfg = parse_four_way(cli)
 
         self.seed = int(cli.get("seed", 2023))

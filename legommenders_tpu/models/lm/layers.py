@@ -35,6 +35,16 @@ class LoRADense(nn.Module):
     lora_dropout: float = 0.0
     use_bias: bool = True
     freeze_base: bool = False
+    # fold the LoRA delta into the base kernel BEFORE the GEMM:
+    # y = x @ (W + s·AB) — one full-width GEMM instead of base + two
+    # skinny M-sized GEMMs. Requires lora_dropout == 0 (the delta's input
+    # dropout cannot be expressed on a folded kernel). Gradients to A/B
+    # flow through the D×r×D fold (negligible FLOPs); the backward pays
+    # one extra x^T@dy GEMM for dW_eff but skips all skinny M-sized LoRA
+    # GEMMs + their activations (measured win at bench_lm geometry,
+    # tools/lm_ablate.py). Exact same math as unfused up to f32->bf16
+    # rounding of (W + s·AB) vs (x@A)@B association.
+    lora_fold: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -44,6 +54,15 @@ class LoRADense(nn.Module):
                             (D, self.features))
         if self.freeze_base:
             kernel = jax.lax.stop_gradient(kernel)
+        fold = self.lora_fold and self.lora_r > 0
+        if fold:
+            assert self.lora_dropout == 0.0, \
+                "lora_fold requires lora_dropout == 0"
+            a = self.param("lora_A", nn.initializers.normal(0.02),
+                           (D, self.lora_r))
+            b = self.param("lora_B", nn.initializers.zeros,
+                           (self.lora_r, self.features))
+            kernel = kernel + (a @ b) * (self.lora_alpha / self.lora_r)
         y = jnp.einsum("...d,df->...f", x.astype(self.dtype),
                        kernel.astype(self.dtype))
         if self.use_bias:
@@ -51,7 +70,7 @@ class LoRADense(nn.Module):
             if self.freeze_base:
                 bias = jax.lax.stop_gradient(bias)
             y = y + bias.astype(self.dtype)
-        if self.lora_r > 0:
+        if self.lora_r > 0 and not fold:
             a = self.param("lora_A", nn.initializers.normal(0.02),
                            (D, self.lora_r))
             b = self.param("lora_B", nn.initializers.zeros,
@@ -73,6 +92,11 @@ class FrozenableLayerNorm(nn.Module):
 
     epsilon: float = 1e-12
     freeze: bool = False
+    # apply in the compute dtype: moments still accumulate in f32, but the
+    # normalize/scale/shift elementwise runs in bf16 — on v5e the f32
+    # elementwise materializations of 4 LNs cost ~10 ms/page at bench_lm
+    # geometry (tools/lm_ablate.py). Off by default (HF-golden parity).
+    bf16_apply: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,6 +109,10 @@ class FrozenableLayerNorm(nn.Module):
             bias = jax.lax.stop_gradient(bias)
         mean = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
         var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+        if self.bf16_apply and self.dtype != jnp.float32:
+            inv = jax.lax.rsqrt(var + self.epsilon).astype(self.dtype)
+            y = (x.astype(self.dtype) - mean.astype(self.dtype)) * inv
+            return y * scale.astype(self.dtype) + bias.astype(self.dtype)
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)
 
@@ -122,7 +150,7 @@ class ProjParams(nn.Module):
 
 
 def _fused_qkv_proj(x, specs, *, freeze_base, dtype, lora_alpha,
-                    lora_dropout, training):
+                    lora_dropout, training, lora_fold=False):
     """Project x through q/k/v as ONE GEMM against the concatenated base
     kernels (exact math — each output column block is the same dot product
     as the per-projection GEMM), then add the LoRA low-rank deltas.
@@ -139,9 +167,24 @@ def _fused_qkv_proj(x, specs, *, freeze_base, dtype, lora_alpha,
     D = x.shape[-1]
     parts = [ProjParams(f, r, use_bias=ub, name=n)(D)
              for (n, f, r, ub) in specs]
-    kernel = jnp.concatenate([p[0] for p in parts], axis=1)
-    if freeze_base:
-        kernel = jax.lax.stop_gradient(kernel)
+    if lora_fold and any(r > 0 for (_, _, r, _) in specs):
+        # fold each projection's LoRA delta into its base block before the
+        # concat (see LoRADense.lora_fold); base blocks stop-gradient
+        # individually so the deltas stay trainable
+        assert lora_dropout == 0.0, "lora_fold requires lora_dropout == 0"
+        blocks = []
+        for p, (_, f, r, _) in zip(parts, specs):
+            kern = jax.lax.stop_gradient(p[0]) if freeze_base else p[0]
+            if r > 0:
+                kern = kern + (p[2] @ p[3]) * (lora_alpha / r)
+            blocks.append(kern)
+        kernel = jnp.concatenate(blocks, axis=1)
+        lora_live = False
+    else:
+        kernel = jnp.concatenate([p[0] for p in parts], axis=1)
+        if freeze_base:
+            kernel = jax.lax.stop_gradient(kernel)
+        lora_live = True
     xd = x.astype(dtype)
     y = jnp.einsum("...d,df->...f", xd, kernel.astype(dtype))
     if parts[0][1] is not None:
@@ -152,7 +195,7 @@ def _fused_qkv_proj(x, specs, *, freeze_base, dtype, lora_alpha,
     sizes = [f for (_, f, _, _) in specs]
     outs = list(jnp.split(y, _split_points(sizes), axis=-1))
     for i, (n, _, r, _) in enumerate(specs):
-        if r > 0:
+        if r > 0 and lora_live:
             h = x
             if lora_dropout > 0:
                 h = nn.Dropout(lora_dropout, name=f"lora_drop_{n}")(
@@ -306,6 +349,7 @@ class BertSelfAttention(nn.Module):
     dropout: float = 0.1
     fused: bool = False  # Pallas packed_attention core (T <= 128)
     fused_qkv: bool = False  # one concatenated (D, 3D) base GEMM
+    lora_fold: bool = False  # fold LoRA deltas into base kernels
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -321,15 +365,17 @@ class BertSelfAttention(nn.Module):
                  ("value", D, self.lora_r, True)],
                 freeze_base=self.freeze_base, dtype=self.dtype,
                 lora_alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
-                training=training)
+                training=training, lora_fold=self.lora_fold)
         else:
             q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
                           freeze_base=self.freeze_base, dtype=self.dtype,
+                          lora_fold=self.lora_fold,
                           name="query")(x, training)
             k = _frozen_dense(D, self.freeze_base, self.dtype,
                               "key")(x, training)
             v = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
                           freeze_base=self.freeze_base, dtype=self.dtype,
+                          lora_fold=self.lora_fold,
                           name="value")(x, training)
         B, L = x.shape[0], x.shape[1]
         if self.fused and L <= 128 and not self.is_initializing():
@@ -366,6 +412,8 @@ class BertLayer(nn.Module):
     gelu_approximate: bool = False
     fused_attention: bool = False
     fused_qkv: bool = False
+    lora_fold: bool = False
+    norm_bf16: bool = False  # LayerNorms apply in bf16 (stats stay f32)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -376,11 +424,12 @@ class BertLayer(nn.Module):
         attn = BertSelfAttention(
             self.num_heads, self.lora_r, self.lora_alpha, self.lora_dropout,
             self.freeze_base, attn_p, fused=self.fused_attention,
-            fused_qkv=self.fused_qkv, dtype=self.dtype,
+            fused_qkv=self.fused_qkv, lora_fold=self.lora_fold,
+            dtype=self.dtype,
             name="attention")(x, mask_bias, training)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
         x = FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
-                                dtype=self.dtype,
+                                bf16_apply=self.norm_bf16, dtype=self.dtype,
                                 name="attention_norm")(x + attn)
         inter = _frozen_dense(D * self.intermediate_mult, self.freeze_base,
                               self.dtype, "intermediate")(x, training)
@@ -389,6 +438,7 @@ class BertLayer(nn.Module):
                             "ffn_output")(inter, training)
         out = nn.Dropout(self.dropout)(out, deterministic=not training)
         return FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
+                                   bf16_apply=self.norm_bf16,
                                    dtype=self.dtype,
                                    name="output_norm")(x + out)
 
@@ -421,6 +471,10 @@ class BertEncoderSlice(nn.Module):
     fused_attention: bool = False
     # q/k/v base projections as one concatenated GEMM (exact math)
     fused_qkv: bool = False
+    # fold LoRA deltas into base kernels (needs lora_dropout == 0)
+    lora_fold: bool = False
+    # LayerNorms apply in bf16 (stats stay f32)
+    norm_bf16: bool = False
     pipeline_stages: int = 0      # >1: stage layers over the ambient pp mesh
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.float32
@@ -442,6 +496,7 @@ class BertEncoderSlice(nn.Module):
                 extra = jax.lax.stop_gradient(extra)
             x = x + extra
             x = FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
+                                    bf16_apply=self.norm_bf16,
                                     dtype=self.dtype,
                                     name="embeddings_norm")(x)
             x = nn.Dropout(self.dropout)(x, deterministic=not training)
@@ -456,6 +511,8 @@ class BertEncoderSlice(nn.Module):
                                   gelu_approximate=self.gelu_approximate,
                                   fused_attention=self.fused_attention,
                                   fused_qkv=self.fused_qkv,
+                                  lora_fold=self.lora_fold,
+                                  norm_bf16=self.norm_bf16,
                                   dtype=self.dtype)
             return _pipelined_stack(self, layer_mod, x, mask_bias,
                                     training, pp_mesh)
@@ -474,6 +531,8 @@ class BertEncoderSlice(nn.Module):
                           gelu_approximate=self.gelu_approximate,
                           fused_attention=self.fused_attention,
                           fused_qkv=self.fused_qkv,
+                          lora_fold=self.lora_fold,
+                          norm_bf16=self.norm_bf16,
                           dtype=self.dtype, name=f"layer_{i}")(
                 x, mask_bias, training)
             if self.collect_pooled:
@@ -492,6 +551,7 @@ class BertEncoderSlice(nn.Module):
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     freeze: bool = False
+    bf16_apply: bool = False  # see FrozenableLayerNorm.bf16_apply
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -500,6 +560,9 @@ class RMSNorm(nn.Module):
         if self.freeze:
             scale = jax.lax.stop_gradient(scale)
         var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        if self.bf16_apply and self.dtype != jnp.float32:
+            inv = jax.lax.rsqrt(var + self.eps).astype(self.dtype)
+            return x.astype(self.dtype) * inv * scale.astype(self.dtype)
         return (x * jax.lax.rsqrt(var + self.eps)).astype(self.dtype) * scale
 
 
@@ -567,6 +630,8 @@ class LlamaDecoderLayer(nn.Module):
     rotary_period: int = 0
     fused_attention: bool = False
     fused_qkv: bool = False
+    lora_fold: bool = False
+    norm_bf16: bool = False  # RMSNorms apply in bf16 (stats stay f32)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -578,7 +643,8 @@ class LlamaDecoderLayer(nn.Module):
         inter = self.intermediate_size or int(D * 8 / 3)
         L_tab = self.rotary_period or L
 
-        h = RMSNorm(freeze=self.freeze_base, dtype=self.dtype, name="input_norm")(x)
+        h = RMSNorm(freeze=self.freeze_base, bf16_apply=self.norm_bf16,
+                    dtype=self.dtype, name="input_norm")(x)
         if self.fused_qkv:
             q, k, v = _fused_qkv_proj(
                 h,
@@ -587,17 +653,19 @@ class LlamaDecoderLayer(nn.Module):
                  ("v_proj", KV * d, self.lora_r, self.qkv_bias)],
                 freeze_base=self.freeze_base, dtype=self.dtype,
                 lora_alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
-                training=training)
+                training=training, lora_fold=self.lora_fold)
         else:
             q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
                           use_bias=self.qkv_bias, freeze_base=self.freeze_base,
+                          lora_fold=self.lora_fold,
                           dtype=self.dtype, name="q_proj")(h, training)
             k = LoRADense(KV * d, 0, use_bias=self.qkv_bias,
                           freeze_base=self.freeze_base, dtype=self.dtype,
                           name="k_proj")(h, training)
             v = LoRADense(KV * d, self.lora_r, self.lora_alpha,
                           self.lora_dropout, use_bias=self.qkv_bias,
-                          freeze_base=self.freeze_base, dtype=self.dtype,
+                          freeze_base=self.freeze_base,
+                          lora_fold=self.lora_fold, dtype=self.dtype,
                           name="v_proj")(h, training)
         q = q.reshape(B, L, H, d)
         k = k.reshape(B, L, KV, d)
@@ -638,7 +706,8 @@ class LlamaDecoderLayer(nn.Module):
                         dtype=self.dtype, name="o_proj")(out, training)
         x = x + out
 
-        h = RMSNorm(freeze=self.freeze_base, dtype=self.dtype, name="post_norm")(x)
+        h = RMSNorm(freeze=self.freeze_base, bf16_apply=self.norm_bf16,
+                    dtype=self.dtype, name="post_norm")(x)
         gate = LoRADense(inter, 0, use_bias=False,
                          freeze_base=self.freeze_base, dtype=self.dtype,
                          name="gate_proj")(h, training)
@@ -668,6 +737,8 @@ class LlamaDecoderSlice(nn.Module):
     rotary_fraction: float = 1.0
     rotary_interleaved: bool = False
     attention_pack: int = 0    # -1 auto: pack 128//L items per attn call
+    lora_fold: bool = False
+    norm_bf16: bool = False
     fused_attention: bool = False
     fused_qkv: bool = False
     pipeline_stages: int = 0
@@ -695,11 +766,13 @@ class LlamaDecoderSlice(nn.Module):
                 rotary_interleaved=self.rotary_interleaved,
                 fused_attention=self.fused_attention,
                 fused_qkv=self.fused_qkv,
+                lora_fold=self.lora_fold, norm_bf16=self.norm_bf16,
                 dtype=self.dtype)
             x = _pipelined_stack(self, layer_mod, x, mask_bias,
                                  training, pp_mesh)
             if self.final_norm:
-                x = RMSNorm(freeze=self.freeze_base, dtype=self.dtype,
+                x = RMSNorm(freeze=self.freeze_base,
+                            bf16_apply=self.norm_bf16, dtype=self.dtype,
                             name="final_norm")(x)
             return x
         G = pack_group_size(L, self.attention_pack) \
@@ -721,6 +794,7 @@ class LlamaDecoderSlice(nn.Module):
                 rotary_period=L if G > 1 else 0,
                 fused_attention=self.fused_attention,
                 fused_qkv=self.fused_qkv,
+                lora_fold=self.lora_fold, norm_bf16=self.norm_bf16,
                 dtype=self.dtype,
                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:
@@ -731,7 +805,8 @@ class LlamaDecoderSlice(nn.Module):
         if self.collect_pooled:
             return jnp.stack(pooled, axis=1)
         if self.final_norm:
-            x = RMSNorm(freeze=self.freeze_base, dtype=self.dtype, name="final_norm")(x)
+            x = RMSNorm(freeze=self.freeze_base, bf16_apply=self.norm_bf16,
+                        dtype=self.dtype, name="final_norm")(x)
         return x
 
 
@@ -750,6 +825,8 @@ class OPTDecoderLayer(nn.Module):
     dropout: float = 0.0
     fused_attention: bool = False
     fused_qkv: bool = False
+    lora_fold: bool = False
+    norm_bf16: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -757,7 +834,9 @@ class OPTDecoderLayer(nn.Module):
         B, L, D = x.shape
         H, d = self.num_heads, D // self.num_heads
         ffn = self.ffn_dim or 4 * D
-        h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype, name="attn_norm")(x)
+        h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base,
+                                bf16_apply=self.norm_bf16,
+                                dtype=self.dtype, name="attn_norm")(x)
         if self.fused_qkv:
             q, k, v = _fused_qkv_proj(
                 h,
@@ -766,15 +845,17 @@ class OPTDecoderLayer(nn.Module):
                  ("v_proj", D, self.lora_r, True)],
                 freeze_base=self.freeze_base, dtype=self.dtype,
                 lora_alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
-                training=training)
+                training=training, lora_fold=self.lora_fold)
         else:
             q = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
                           freeze_base=self.freeze_base, dtype=self.dtype,
+                          lora_fold=self.lora_fold,
                           name="q_proj")(h, training)
             k = _frozen_dense(D, self.freeze_base, self.dtype,
                               "k_proj")(h, training)
             v = LoRADense(D, self.lora_r, self.lora_alpha, self.lora_dropout,
                           freeze_base=self.freeze_base, dtype=self.dtype,
+                          lora_fold=self.lora_fold,
                           name="v_proj")(h, training)
         if self.fused_attention and L <= 128 and not self.is_initializing():
             # pass q unscaled: the kernel applies 1/sqrt(d) itself
@@ -791,7 +872,9 @@ class OPTDecoderLayer(nn.Module):
                             "out_proj")(out, training)
         out = nn.Dropout(self.dropout)(out, deterministic=not training)
         x = x + out
-        h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype, name="ffn_norm")(x)
+        h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base,
+                                bf16_apply=self.norm_bf16,
+                                dtype=self.dtype, name="ffn_norm")(x)
         h = nn.relu(_frozen_dense(ffn, self.freeze_base, self.dtype,
                                   "fc1")(h, training))
         h = _frozen_dense(D, self.freeze_base, self.dtype,
@@ -817,6 +900,8 @@ class OPTDecoderSlice(nn.Module):
     attention_pack: int = 0    # -1 auto: pack 128//L items per attn call
     fused_attention: bool = False
     fused_qkv: bool = False
+    lora_fold: bool = False
+    norm_bf16: bool = False
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
@@ -851,12 +936,15 @@ class OPTDecoderSlice(nn.Module):
                                         dropout=self.dropout,
                                         fused_attention=self.fused_attention,
                                         fused_qkv=self.fused_qkv,
+                                        lora_fold=self.lora_fold,
+                                        norm_bf16=self.norm_bf16,
                                         dtype=self.dtype)
             x = _pipelined_stack(self, layer_mod, x, mask_bias,
                                  training, pp_mesh)
             if self.final_norm:
                 x = FrozenableLayerNorm(
-                    epsilon=1e-5, freeze=self.freeze_base, dtype=self.dtype,
+                    epsilon=1e-5, freeze=self.freeze_base,
+                    bf16_apply=self.norm_bf16, dtype=self.dtype,
                     name="final_norm")(x)
             return x
         G = pack_group_size(L, self.attention_pack) \
@@ -874,6 +962,8 @@ class OPTDecoderSlice(nn.Module):
                                 dropout=self.dropout,
                                 fused_attention=self.fused_attention,
                                 fused_qkv=self.fused_qkv,
+                                lora_fold=self.lora_fold,
+                                norm_bf16=self.norm_bf16,
                                 dtype=self.dtype,
                                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:

@@ -69,6 +69,14 @@ class LMOperator(BaseOperator):
     # q/k/v base projections as ONE concatenated GEMM per layer (exact
     # math, same param tree — lm/layers._fused_qkv_proj)
     fused_qkv: bool = False
+    # fold the LoRA deltas into the base kernels at apply time: skips all
+    # skinny M-sized LoRA GEMMs + their dropout masks for one D×r×D fold
+    # per projection (requires lora_dropout == 0; lm/layers.LoRADense)
+    lora_fold: bool = False
+    # LayerNorm/RMSNorm apply in bf16 (statistics stay f32) — removes the
+    # f32 elementwise materializations that cost ~10 ms/page at bench_lm
+    # geometry (tools/lm_ablate.py)
+    norm_bf16: bool = False
 
     inputer_class = ConcatInputer
     hf_family: str = ""  # "bert" | "llama" | "opt" — hf_loader mapping
@@ -108,10 +116,15 @@ class LMOperator(BaseOperator):
         # forward the first-class PP knobs into the slice so a YAML/CLI
         # `item_config.pipeline_stages` actually stages the trainable stack
         # (the offline lower slice stays serial: it runs paged, off-mesh)
+        if self.lora_fold and self.use_lora:
+            assert self.lora_dropout == 0.0, (
+                "lora_fold requires lora_dropout: 0 in item_config")
         pp = dict(pipeline_stages=self.pipeline_stages,
                   pipeline_microbatches=self.pipeline_microbatches,
                   fused_attention=self.fused_attention,
-                  fused_qkv=self.fused_qkv)
+                  fused_qkv=self.fused_qkv,
+                  lora_fold=self.lora_fold,
+                  norm_bf16=self.norm_bf16)
         self.upper_slice = self.make_slice(
             start, self.num_hidden_layers - start, trainable=True,
             name="lm", **pp)
@@ -120,7 +133,7 @@ class LMOperator(BaseOperator):
             # (cache build time); PP stays off there (runs paged, off-mesh)
             self.lower_slice = self.make_slice(
                 0, start, trainable=False, name="lm_lower",
-                fused_qkv=self.fused_qkv)
+                fused_qkv=self.fused_qkv, norm_bf16=self.norm_bf16)
         self.linear = nn.Dense(self.hidden_size, dtype=self.dtype,
                                name="linear")
         self.pool = AdditiveAttention(self.additive_hidden_size,

@@ -159,7 +159,16 @@ class Evaluator:
                 _, scores = jax.lax.scan(body, 0, (u_pages, i_pages))
                 return scores.reshape(-1)
 
-            self._scorer = jax.jit(score_all)
+            if self.mesh is not None:
+                # replicate the score vector so np.asarray works on every
+                # process of a multi-host mesh (and the single D2H below
+                # stays one transfer)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._scorer = jax.jit(
+                    score_all,
+                    out_shardings=NamedSharding(self.mesh, P()))
+            else:
+                self._scorer = jax.jit(score_all)
         return self._scorer
 
     def score_phase_device(self, params, phase: str) -> np.ndarray:

