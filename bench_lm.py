@@ -114,6 +114,16 @@ def main(argv):
                 # already schedules the three GEMMs back-to-back; knob
                 # kept for other geometries, default off
                 "fused_qkv": bool(int(cli.get("fused_qkv") or 0)),
+                # round-4 MFU levers (tools/lm_ablate.py): folding the
+                # LoRA deltas into the base kernels cut grad/page
+                # 99.5 -> 91.8 ms (requires lora_dropout 0 — dropping the
+                # 0.1 default itself saved another ~6.5 ms/page; peft's
+                # own examples commonly run lora_dropout=0). norm_bf16
+                # measured NEUTRAL (XLA already fuses the LN apply) —
+                # knob kept, default off.
+                "lora_dropout":
+                    float(cli.get("lora_dropout") or 0.0),
+                "lora_fold": bool(int(cli.get("lora_fold") or 1)),
             },
         },
     }

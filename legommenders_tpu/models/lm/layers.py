@@ -122,6 +122,40 @@ def _frozen_dense(features, freeze, dtype, name, use_bias=True):
                      name=name, use_bias=use_bias)
 
 
+class SharedBitsDropout(nn.Module):
+    """One uint32 random-bits draw feeds several dropout sites: site k
+    compares byte k of the SAME bits tensor against a quantized keep
+    threshold (p rounds to 1/256 granularity; the keep scale uses the
+    quantized probability, so E[output] stays exactly unbiased).
+
+    Rationale (VERDICT r3 weak #3 / tools/lm_ablate.py): each nn.Dropout
+    site draws its own (M, D) random tensor — at bench_lm geometry the
+    draws+materializations cost more than the layer's GEMM floor allows.
+    Byte-slicing one draw halves the RNG traffic per transformer layer
+    (2 hidden-dropout sites). Masks at different bytes of one uint32 are
+    independent Bernoulli draws (rbg/threefry bits are iid by design), so
+    this is ordinary dropout — just cheaper; a documented TPU divergence
+    from per-site nn.Dropout draws."""
+
+    rate: float
+    num_sites: int = 2
+
+    @nn.compact
+    def __call__(self, inputs, site: int, bits=None, training: bool = False):
+        if not training or self.rate <= 0.0:
+            return inputs, bits
+        assert 0 <= site < min(self.num_sites, 4)
+        t = max(1, min(256, round((1.0 - self.rate) * 256)))
+        if bits is None:
+            bits = jax.random.bits(self.make_rng("dropout"),
+                                   inputs.shape, jnp.uint32)
+        byte = (bits >> jnp.uint32(8 * site)) & jnp.uint32(0xFF)
+        keep = byte < jnp.uint32(t)
+        scale = jnp.asarray(256.0 / t, inputs.dtype)
+        return jnp.where(keep, inputs * scale,
+                         jnp.zeros((), inputs.dtype)), bits
+
+
 class ProjParams(nn.Module):
     """Declares exactly LoRADense's param tree (kernel/bias/lora_A/lora_B,
     same names, shapes, initializers) WITHOUT computing, so a fused-QKV
@@ -414,6 +448,7 @@ class BertLayer(nn.Module):
     fused_qkv: bool = False
     lora_fold: bool = False
     norm_bf16: bool = False  # LayerNorms apply in bf16 (stats stay f32)
+    dropout_reuse: bool = False  # one bits draw feeds both hidden sites
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -421,13 +456,20 @@ class BertLayer(nn.Module):
         D = x.shape[-1]
         attn_p = self.dropout if self.attn_dropout is None \
             else self.attn_dropout
+        shared = (SharedBitsDropout(self.dropout, name="shared_drop")
+                  if self.dropout_reuse else None)
+        bits = None
         attn = BertSelfAttention(
             self.num_heads, self.lora_r, self.lora_alpha, self.lora_dropout,
             self.freeze_base, attn_p, fused=self.fused_attention,
             fused_qkv=self.fused_qkv, lora_fold=self.lora_fold,
             dtype=self.dtype,
             name="attention")(x, mask_bias, training)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=not training)
+        if shared is not None:
+            attn, bits = shared(attn, 0, bits, training)
+        else:
+            attn = nn.Dropout(self.dropout)(attn,
+                                            deterministic=not training)
         x = FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
                                 bf16_apply=self.norm_bf16, dtype=self.dtype,
                                 name="attention_norm")(x + attn)
@@ -436,7 +478,10 @@ class BertLayer(nn.Module):
         inter = nn.gelu(inter, approximate=self.gelu_approximate)
         out = _frozen_dense(D, self.freeze_base, self.dtype,
                             "ffn_output")(inter, training)
-        out = nn.Dropout(self.dropout)(out, deterministic=not training)
+        if shared is not None:
+            out, bits = shared(out, 1, bits, training)
+        else:
+            out = nn.Dropout(self.dropout)(out, deterministic=not training)
         return FrozenableLayerNorm(epsilon=1e-12, freeze=self.freeze_base,
                                    bf16_apply=self.norm_bf16,
                                    dtype=self.dtype,
@@ -475,6 +520,8 @@ class BertEncoderSlice(nn.Module):
     lora_fold: bool = False
     # LayerNorms apply in bf16 (stats stay f32)
     norm_bf16: bool = False
+    # one random-bits draw feeds both hidden-dropout sites per layer
+    dropout_reuse: bool = False
     pipeline_stages: int = 0      # >1: stage layers over the ambient pp mesh
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.float32
@@ -513,6 +560,7 @@ class BertEncoderSlice(nn.Module):
                                   fused_qkv=self.fused_qkv,
                                   lora_fold=self.lora_fold,
                                   norm_bf16=self.norm_bf16,
+                                  dropout_reuse=self.dropout_reuse,
                                   dtype=self.dtype)
             return _pipelined_stack(self, layer_mod, x, mask_bias,
                                     training, pp_mesh)
@@ -533,6 +581,7 @@ class BertEncoderSlice(nn.Module):
                           fused_qkv=self.fused_qkv,
                           lora_fold=self.lora_fold,
                           norm_bf16=self.norm_bf16,
+                          dropout_reuse=self.dropout_reuse,
                           dtype=self.dtype, name=f"layer_{i}")(
                 x, mask_bias, training)
             if self.collect_pooled:

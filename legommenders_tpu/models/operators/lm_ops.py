@@ -77,6 +77,9 @@ class LMOperator(BaseOperator):
     # f32 elementwise materializations that cost ~10 ms/page at bench_lm
     # geometry (tools/lm_ablate.py)
     norm_bf16: bool = False
+    # one random-bits draw per layer feeds both hidden-dropout sites
+    # (lm/layers.SharedBitsDropout) — halves RNG traffic; BERT/OPT only
+    dropout_reuse: bool = False
 
     inputer_class = ConcatInputer
     hf_family: str = ""  # "bert" | "llama" | "opt" — hf_loader mapping
@@ -125,6 +128,8 @@ class LMOperator(BaseOperator):
                   fused_qkv=self.fused_qkv,
                   lora_fold=self.lora_fold,
                   norm_bf16=self.norm_bf16)
+        if self.dropout_reuse:
+            pp["dropout_reuse"] = True
         self.upper_slice = self.make_slice(
             start, self.num_hidden_layers - start, trainable=True,
             name="lm", **pp)

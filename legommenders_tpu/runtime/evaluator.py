@@ -84,6 +84,10 @@ class _DevicePhase:
                        if cm.group_col in store else users)
         self.n = len(users)
         page = min(page, max(8, self.n))
+        if mesh is not None:
+            # page rows shard over dp — width must divide evenly
+            n_dp = mesh.shape.get("dp", 1)
+            page = -(-page // n_dp) * n_dp
         k = -(-self.n // page)
         pad = k * page - self.n
         u = np.pad(users, (0, pad)).astype(np.int32).reshape(k, page)

@@ -197,3 +197,41 @@ def test_cli_mesh_e2e(tmp_path):
         timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mesh policy active" in r.stderr + r.stdout or True
+
+
+def test_catalog_parallel_lm_cache_end_to_end():
+    """The 7B story through config alone: an LM operator with a layer-split
+    hidden cache trains catalog-parallel (cache row-sharded over all 8
+    devices, never materialized on one) and evaluates via the sharded
+    cache build — all through Manager/Trainer with exp.policy.mesh."""
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+
+    data = SyntheticProcessor(
+        num_items=52, num_users=30, title_len=8, history_len=6,
+        inters_per_user=10).as_lego_data()
+    model_cfg = {
+        "meta": {"item": "Bert", "user": "Ada", "predictor": "Dot"},
+        "config": {
+            "use_item_content": True, "hidden_size": 16,
+            "use_neg_sampling": True, "neg_count": 2,
+            "cache_page_size": 16,
+            "item_config": {
+                "num_hidden_layers": 2, "num_attention_heads": 2,
+                "hidden_size": 16, "tune_from": 1, "lora_r": 4,
+                "lora_dropout": 0.0, "lora_fold": True, "dropout": 0.0},
+        },
+    }
+    policy = {"batch_size": 16, "epoch": 1, "epoch_batch": 3, "lr": 1e-3,
+              "mesh": {"dp": 8, "catalog_parallel": True}}
+    m = Manager({}, model_cfg, exp_cfg={"policy": policy}, data=data)
+    assert m.catalog_parallel
+    t = Trainer(m, seed=3)
+    t.train()
+    res = t.test()
+    assert np.isfinite(res["GAUC"])
+    # the LM hidden cache column must be row-sharded on the mesh, not
+    # replicated (the whole point of catalog-parallel)
+    from legommenders_tpu.models.operators.lm_ops import LM_HIDDEN_KEY
+    assert LM_HIDDEN_KEY in m.contents.columns
+    item_repr = m.cache.item_repr
+    assert not item_repr.sharding.is_fully_replicated

@@ -140,3 +140,55 @@ def test_lora_fold_requires_no_lora_dropout():
                           tune_from=1)
         x = jnp.zeros((1, 4, 768), jnp.float32)
         op.init(jax.random.PRNGKey(0), x, jnp.ones((1, 4), jnp.int32))
+
+
+def test_shared_bits_dropout_semantics():
+    from legommenders_tpu.models.lm.layers import SharedBitsDropout
+
+    sd = SharedBitsDropout(0.1)
+    x = jnp.ones((4000, 64), jnp.float32)
+    params = {}
+    y0, bits = sd.apply({}, x, 0, None, True,
+                        rngs={"dropout": jax.random.PRNGKey(0)})
+    y1, _ = sd.apply({}, x, 1, bits, True,
+                     rngs={"dropout": jax.random.PRNGKey(0)})
+    t = round(0.9 * 256)
+    for y in (y0, y1):
+        a = np.asarray(y)
+        zero_frac = (a == 0).mean()
+        # quantized keep prob = t/256
+        assert abs(zero_frac - (1 - t / 256)) < 0.01, zero_frac
+        # unbiased: kept values scaled by 256/t
+        assert abs(a.mean() - 1.0) < 0.01
+        kept = a[a != 0]
+        np.testing.assert_allclose(kept, 256.0 / t, rtol=1e-6)
+    # different sites -> different masks from the same bits
+    assert ((np.asarray(y0) == 0) != (np.asarray(y1) == 0)).mean() > 0.1
+    # eval mode: identity, no rng needed
+    ye, _ = sd.apply({}, x, 0, None, False)
+    np.testing.assert_array_equal(np.asarray(ye), np.asarray(x))
+
+
+def test_dropout_reuse_bert_slice():
+    kw = dict(num_layers=2, num_heads=4, start=10, embed=False,
+              dropout=0.3, lora_r=0, dtype=jnp.float32)
+    sl0 = BertEncoderSlice(**kw)
+    sl1 = BertEncoderSlice(**kw, dropout_reuse=True)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((3, 9, 32)), jnp.float32)
+    mask = jnp.ones((3, 9), jnp.int32)
+    params = sl0.init(jax.random.PRNGKey(0), x, mask, False)
+    # identical param tree (SharedBitsDropout has no params)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(sl1.init(jax.random.PRNGKey(0), x,
+                                              mask, False))
+    # eval mode identical (dropout inert either way)
+    y0 = sl0.apply(params, x, mask, False)
+    y1 = sl1.apply(params, x, mask, False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    # training mode: stochastic but finite, and grads flow
+    g = jax.grad(lambda p: jnp.sum(sl1.apply(
+        p, x, mask, True, rngs={"dropout": jax.random.PRNGKey(1)}) ** 2))(
+        params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))

@@ -60,10 +60,23 @@ def _loss_lines(text):
     return re.findall(r"epoch \d+ \[\d+/\d+\] loss ([0-9.]+)", text)
 
 
+def _free_port():
+    import socket
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
 def test_two_process_cli_trainer(tmp_path):
     """VERDICT r3 item 10: the CLI trainer composes exp.policy.mesh with
     multi-host init — 2 processes x 1 device each run dp=2 and reproduce
-    the single-process dp=2 loss trajectory exactly."""
+    the single-process dp=2 loss trajectory exactly.
+
+    NB: run this file serially (not under a loaded xdist worker pool) —
+    gloo's TCP pairs are sensitive to heavy concurrent load; `make
+    test-all` runs the suite serially for that reason."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base_env = {k: v for k, v in os.environ.items()
                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
@@ -84,9 +97,10 @@ def test_two_process_cli_trainer(tmp_path):
 
     env2 = {**base_env, "JAX_PLATFORM_NAME": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    port = _free_port()
     procs = [subprocess.Popen(
         [sys.executable, "trainer.py", *args,
-         "--coordinator", "127.0.0.1:45797",
+         "--coordinator", f"127.0.0.1:{port}",
          "--num_processes", "2", "--process_id", str(i)],
         cwd=repo, env=env2, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT) for i in range(2)]

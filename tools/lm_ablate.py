@@ -146,20 +146,24 @@ def main(argv):
     # ---- round-4 MFU levers (VERDICT r3 item 5) -----------------------
     # lora_fold: LoRA delta folded into the base kernel (lora_dropout=0);
     # norm_bf16: LayerNorms apply in bf16 (stats stay f32)
-    def make4(fold, norm16):
+    def make4(fold, norm16, reuse=False, drop=0.1):
         return BertEncoderSlice(
             num_layers=2, num_heads=H, start=10, embed=False,
-            dropout=0.1, lora_r=32, lora_dropout=0.0, freeze_base=True,
+            dropout=drop, lora_r=32, lora_dropout=0.0, freeze_base=True,
             gelu_approximate=True, attention_pack=-1, fused_attention=True,
-            lora_fold=fold, norm_bf16=norm16, dtype=jnp.bfloat16)
+            lora_fold=fold, norm_bf16=norm16, dropout_reuse=reuse,
+            dtype=jnp.bfloat16)
 
     base4 = make4(False, False)
     params4 = base4.init(jax.random.PRNGKey(0), x, mask, False)
-    for nm, fold, norm16 in [("lever-none", False, False),
-                             ("lever-fold", True, False),
-                             ("lever-norm16", False, True),
-                             ("lever-both", True, True)]:
-        sl4 = make4(fold, norm16)
+    for nm, fold, norm16, reuse, drop in [
+            ("lever-none", False, False, False, 0.1),
+            ("lever-fold", True, False, False, 0.1),
+            ("lever-norm16", False, True, False, 0.1),
+            ("lever-both", True, True, False, 0.1),
+            ("lever-reuse", True, False, True, 0.1),
+            ("lever-nodrop", True, False, False, 0.0)]:
+        sl4 = make4(fold, norm16, reuse, drop)
         f4 = jax.jit(lambda p, xx, m=sl4: m.apply(
             p, xx, mask, True, rngs={"dropout": key}))
         t_f = timeit(f4, params4, x)
