@@ -876,6 +876,7 @@ class OPTDecoderLayer(nn.Module):
     fused_qkv: bool = False
     lora_fold: bool = False
     norm_bf16: bool = False
+    dropout_reuse: bool = False  # one bits draw feeds both residual sites
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -883,6 +884,9 @@ class OPTDecoderLayer(nn.Module):
         B, L, D = x.shape
         H, d = self.num_heads, D // self.num_heads
         ffn = self.ffn_dim or 4 * D
+        shared = (SharedBitsDropout(self.dropout, name="shared_drop")
+                  if self.dropout_reuse else None)
+        bits = None
         h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base,
                                 bf16_apply=self.norm_bf16,
                                 dtype=self.dtype, name="attn_norm")(x)
@@ -919,7 +923,10 @@ class OPTDecoderLayer(nn.Module):
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
         out = _frozen_dense(D, self.freeze_base, self.dtype,
                             "out_proj")(out, training)
-        out = nn.Dropout(self.dropout)(out, deterministic=not training)
+        if shared is not None:
+            out, bits = shared(out, 0, bits, training)
+        else:
+            out = nn.Dropout(self.dropout)(out, deterministic=not training)
         x = x + out
         h = FrozenableLayerNorm(epsilon=1e-5, freeze=self.freeze_base,
                                 bf16_apply=self.norm_bf16,
@@ -928,7 +935,10 @@ class OPTDecoderLayer(nn.Module):
                                   "fc1")(h, training))
         h = _frozen_dense(D, self.freeze_base, self.dtype,
                           "fc2")(h, training)
-        h = nn.Dropout(self.dropout)(h, deterministic=not training)
+        if shared is not None:
+            h, bits = shared(h, 1, bits, training)
+        else:
+            h = nn.Dropout(self.dropout)(h, deterministic=not training)
         return x + h
 
 
@@ -951,6 +961,7 @@ class OPTDecoderSlice(nn.Module):
     fused_qkv: bool = False
     lora_fold: bool = False
     norm_bf16: bool = False
+    dropout_reuse: bool = False
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0
     dtype: jnp.dtype = jnp.bfloat16
@@ -987,6 +998,7 @@ class OPTDecoderSlice(nn.Module):
                                         fused_qkv=self.fused_qkv,
                                         lora_fold=self.lora_fold,
                                         norm_bf16=self.norm_bf16,
+                                        dropout_reuse=self.dropout_reuse,
                                         dtype=self.dtype)
             x = _pipelined_stack(self, layer_mod, x, mask_bias,
                                  training, pp_mesh)
@@ -1013,6 +1025,7 @@ class OPTDecoderSlice(nn.Module):
                                 fused_qkv=self.fused_qkv,
                                 lora_fold=self.lora_fold,
                                 norm_bf16=self.norm_bf16,
+                                dropout_reuse=self.dropout_reuse,
                                 dtype=self.dtype,
                                 name=f"layer_{i}")(x, mask_bias, training)
             if self.collect_pooled:

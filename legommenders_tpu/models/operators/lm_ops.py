@@ -122,6 +122,10 @@ class LMOperator(BaseOperator):
         if self.lora_fold and self.use_lora:
             assert self.lora_dropout == 0.0, (
                 "lora_fold requires lora_dropout: 0 in item_config")
+        if self.dropout_reuse and self.hf_family in ("llama", "glm"):
+            raise ValueError(
+                "dropout_reuse applies to BERT/OPT slices only — the "
+                "Llama/GLM decoder has no hidden-dropout sites to share")
         pp = dict(pipeline_stages=self.pipeline_stages,
                   pipeline_microbatches=self.pipeline_microbatches,
                   fused_attention=self.fused_attention,

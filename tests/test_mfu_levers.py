@@ -192,3 +192,31 @@ def test_dropout_reuse_bert_slice():
         params)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_dropout_reuse_opt_and_llama_guard():
+    from legommenders_tpu.models.lm.layers import OPTDecoderSlice
+    from legommenders_tpu.models.operators.lm_ops import Llama1Operator
+
+    kw = dict(num_layers=2, num_heads=4, start=0, embed_positions=False,
+              final_norm=False, dropout=0.3, dtype=jnp.float32)
+    sl0 = OPTDecoderSlice(**kw)
+    sl1 = OPTDecoderSlice(**kw, dropout_reuse=True)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((3, 9, 32)), jnp.float32)
+    mask = jnp.ones((3, 9), jnp.int32)
+    params = sl0.init(jax.random.PRNGKey(0), x, mask, False)
+    y0 = sl0.apply(params, x, mask, False)
+    y1 = sl1.apply(params, x, mask, False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    yt = sl1.apply(params, x, mask, True,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(yt)).all()
+
+    # llama/glm: loud rejection (no hidden-dropout sites to share)
+    with pytest.raises(ValueError):
+        op = Llama1Operator(hidden_size=8, num_hidden_layers=2,
+                            num_attention_heads=2, dropout_reuse=True)
+        op.init(jax.random.PRNGKey(0),
+                jnp.zeros((1, 4, 4096), jnp.float32),
+                jnp.ones((1, 4), jnp.int32))
