@@ -156,6 +156,12 @@ class Trainer:
             jax.device_put, self.params, p_sh)
         self.opt_state = place_opt_state(
             self.optimizer, self.opt_state, p_sh, mesh)
+        if mesh.shape.get("sp", 1) > 1:
+            # ambient SP mesh: operators flagged `sequence_parallel: true`
+            # in their YAML config shard their attention/pooling over the
+            # sp axis at trace time (parallel/mesh.sequence_parallel)
+            from legommenders_tpu.parallel.mesh import set_sp_mesh
+            set_sp_mesh(mesh)
         self.log.info(
             f"mesh policy active: {dict(mesh.shape)}"
             + (" (catalog-parallel)" if self.m.catalog_parallel else ""))

@@ -235,3 +235,50 @@ def test_catalog_parallel_lm_cache_end_to_end():
     assert LM_HIDDEN_KEY in m.contents.columns
     item_repr = m.cache.item_repr
     assert not item_repr.sharding.is_fully_replicated
+
+
+def test_mesh_policy_sp_flatten_transformer():
+    """exp.policy.mesh.sp activates the ambient SP mesh: a flatten
+    transformer with sequence_parallel=true trains through the Trainer
+    with its attention sharded over sp, matching the sp=1 run."""
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.parallel.mesh import set_sp_mesh
+
+    def run(mesh_cfg):
+        set_sp_mesh(None)
+        data = SyntheticProcessor(
+            num_items=40, num_users=24, title_len=8, history_len=4,
+            inters_per_user=10).as_lego_data()
+        model_cfg = {
+            "meta": {"item": "Transformer", "user": "FlattenTransformer",
+                     "predictor": "Dot"},
+            "config": {
+                "use_item_content": True, "hidden_size": 16,
+                "use_neg_sampling": True, "neg_count": 2,
+                "use_fast_eval": False, "flatten_mode": True,
+                "item_config": {"num_hidden_layers": 1,
+                                "num_attention_heads": 4, "dropout": 0.0,
+                                "attention_dropout": 0.0},
+                "user_config": {"num_hidden_layers": 1,
+                                "num_attention_heads": 4, "dropout": 0.0,
+                                "attention_dropout": 0.0,
+                                "sequence_parallel": bool(
+                                    mesh_cfg and mesh_cfg.get("sp", 1) > 1)},
+                # flattened seq len must divide sp (36 = 4 hist x 9 tokens)
+            },
+        }
+        policy = {"batch_size": 8, "epoch": 1, "epoch_batch": 2,
+                  "lr": 1e-3, "simple_dev": True}
+        if mesh_cfg:
+            policy["mesh"] = mesh_cfg
+        m = Manager({}, model_cfg, exp_cfg={"policy": policy}, data=data)
+        t = Trainer(m, seed=5)
+        t.train()
+        res = t.test()
+        set_sp_mesh(None)
+        return res
+
+    res0 = run(None)
+    res1 = run({"dp": 2, "mp": 1, "sp": 4})
+    for k in res0:
+        assert abs(res0[k] - res1[k]) < 5e-3, (k, res0[k], res1[k])
