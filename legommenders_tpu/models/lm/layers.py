@@ -18,6 +18,16 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
+
+# residual tag for the FFN second-GEMM output of every trainable layer:
+# under `item_page_remat: "ffn"` (legommender._encode_paged) the paging
+# remat saves exactly these tensors — at bench_lm geometry that is
+# tokens x D x n_layers bf16 (~6 GB for the 65k catalog, within the v5e
+# headroom the round-4 ablation established) and removes the widest GEMM
+# (2*D*4D flops/token, ~1/3 of the slice recompute) from the backward
+# rematerialization. All other intermediates still rematerialize.
+FFN_OUT_TAG = "lm_ffn_out"
 
 
 class LoRADense(nn.Module):
@@ -287,6 +297,19 @@ def _pipelined_stack(mdl, layer_module, x, mask_bias, training: bool,
         seeds = jnp.zeros((B,), jnp.uint32)
 
     M = int(getattr(mdl, "pipeline_microbatches", 0) or 2 * stages)
+    # pad the row dim so arbitrary encode sizes (flattened occurrences,
+    # catalog pages) split into M microbatches with the microbatch rows
+    # dp-shardable; padded rows compute garbage that is sliced off
+    n_dp = mesh.shape.get("dp", 1)
+    pad = (-B) % (M * n_dp)
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        mask_bias = jnp.concatenate(
+            [mask_bias,
+             jnp.zeros((pad,) + mask_bias.shape[1:], mask_bias.dtype)],
+            axis=0)
+        seeds = jnp.concatenate([seeds, jnp.zeros((pad,), seeds.dtype)])
 
     def stage_fn(stage_params, tree):
         h, bias, seed = tree
@@ -301,7 +324,7 @@ def _pipelined_stack(mdl, layer_module, x, mask_bias, training: bool,
         return (h, bias, seed)
 
     out = gpipe_tree(stage_fn, stacked, (x, mask_bias, seeds), mesh, M)
-    return out[0]
+    return out[0][:B]
 
 
 def _fused_attention(mdl, q, k, v, mask_bias, num_heads, attn_p,
@@ -476,8 +499,9 @@ class BertLayer(nn.Module):
         inter = _frozen_dense(D * self.intermediate_mult, self.freeze_base,
                               self.dtype, "intermediate")(x, training)
         inter = nn.gelu(inter, approximate=self.gelu_approximate)
-        out = _frozen_dense(D, self.freeze_base, self.dtype,
-                            "ffn_output")(inter, training)
+        out = checkpoint_name(
+            _frozen_dense(D, self.freeze_base, self.dtype,
+                          "ffn_output")(inter, training), FFN_OUT_TAG)
         if shared is not None:
             out, bits = shared(out, 1, bits, training)
         else:
@@ -763,9 +787,11 @@ class LlamaDecoderLayer(nn.Module):
         up = LoRADense(inter, 0, use_bias=False,
                        freeze_base=self.freeze_base, dtype=self.dtype,
                        name="up_proj")(h, training)
-        down = LoRADense(D, 0, use_bias=False,
-                         freeze_base=self.freeze_base, dtype=self.dtype,
-                         name="down_proj")(nn.silu(gate) * up, training)
+        down = checkpoint_name(
+            LoRADense(D, 0, use_bias=False,
+                      freeze_base=self.freeze_base, dtype=self.dtype,
+                      name="down_proj")(nn.silu(gate) * up, training),
+            FFN_OUT_TAG)
         return x + down
 
 
@@ -933,8 +959,9 @@ class OPTDecoderLayer(nn.Module):
                                 dtype=self.dtype, name="ffn_norm")(x)
         h = nn.relu(_frozen_dense(ffn, self.freeze_base, self.dtype,
                                   "fc1")(h, training))
-        h = _frozen_dense(D, self.freeze_base, self.dtype,
-                          "fc2")(h, training)
+        h = checkpoint_name(
+            _frozen_dense(D, self.freeze_base, self.dtype,
+                          "fc2")(h, training), FFN_OUT_TAG)
         if shared is not None:
             h, bits = shared(h, 1, bits, training)
         else:

@@ -119,7 +119,9 @@ def sharded_catalog_encode(model, mesh: Mesh) -> Callable:
 def make_catalog_parallel_step(model, optimizer, mesh: Mesh,
                                use_neg_sampling: bool = True,
                                seed: int = 0,
-                               rng_impl: Optional[str] = None) -> Callable:
+                               rng_impl: Optional[str] = None,
+                               assemble: Optional[Callable] = None
+                               ) -> Callable:
     """Train step with the catalog encode sharded over ALL mesh devices.
 
     step(params, opt_state, contents, batch, step_idx) -> (params,
@@ -127,6 +129,14 @@ def make_catalog_parallel_step(model, optimizer, mesh: Mesh,
     a captured constant), batch dp-sharded, params/opt_state replicated
     (combine with mesh.shard_params for mp table sharding if desired —
     embedding-table lookups inside the local encode then gather over mp).
+
+    With `assemble` (DeviceTrainPipeline.assemble), `batch` is instead a
+    (B,) dp-sharded substrate index vector and batch assembly (history
+    gathers + in-jit negative sampling) fuses into the step — this is what
+    lets catalog_parallel COMPOSE with device_batching instead of falling
+    back to host batch assembly. The rng split mirrors the fused dp step
+    (sample_rng first) so negative draws are identical to
+    DeviceTrainPipeline.make_fused_train_step at the same seed/impl.
 
     Rebuilds the catalog branch of Legommender.__call__ around the
     sharded encode (legommender.py:287-308); matching losses only differ
@@ -139,6 +149,9 @@ def make_catalog_parallel_step(model, optimizer, mesh: Mesh,
     repl = NamedSharding(mesh, P())
 
     def loss_fn(params, contents, batch, rng):
+        if assemble is not None:
+            sample_rng, rng = jax.random.split(rng)
+            batch = assemble(batch, sample_rng)
         r_enc, r_user, r_pred = jax.random.split(rng, 3)
         all_reprs = encode(params, contents, r_enc, True)
         num_items = next(iter(contents.values())).shape[0]

@@ -95,6 +95,24 @@ class pipeline_parallel:
         return False
 
 
+class no_pipeline:
+    """Deactivate the ambient PP mesh for a block. Used by every path that
+    traces the model inside a shard_map (fast-eval cache builds, LM offline
+    caches) — a gpipe shard_map cannot nest inside another shard_map — and
+    by evaluation, where batch sizes are arbitrary and pipeline staging is a
+    training-throughput feature (the serial layer stack is numerically the
+    same params/math)."""
+
+    def __enter__(self):
+        self._prev = get_pp_mesh()
+        set_pp_mesh(None)
+        return None
+
+    def __exit__(self, *exc):
+        set_pp_mesh(self._prev)
+        return False
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None):
@@ -123,17 +141,23 @@ def enable_compilation_cache(path: str = "~/.cache/lego_jax_cache"):
 
 
 def make_mesh(n_dp: Optional[int] = None, n_mp: int = 1,
-              n_sp: int = 1, devices=None) -> Mesh:
+              n_sp: int = 1, devices=None, n_pp: int = 1) -> Mesh:
+    """(dp, mp[, sp][, pp]) mesh — sp/pp axes appear only when > 1 so the
+    common 2-D shape (and every catalog_axes consumer) is unchanged."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if n_dp is None:
-        n_dp = n // (n_mp * n_sp)
-    assert n_dp * n_mp * n_sp == n, f"{n_dp}x{n_mp}x{n_sp} != {n} devices"
+        n_dp = n // (n_mp * n_sp * n_pp)
+    assert n_dp * n_mp * n_sp * n_pp == n, \
+        f"{n_dp}x{n_mp}x{n_sp}x{n_pp} != {n} devices"
+    dims = [(DP_AXIS, n_dp), (MP_AXIS, n_mp)]
     if n_sp > 1:
-        arr = np.asarray(devices).reshape(n_dp, n_mp, n_sp)
-        return Mesh(arr, (DP_AXIS, MP_AXIS, SP_AXIS))
-    arr = np.asarray(devices).reshape(n_dp, n_mp)
-    return Mesh(arr, (DP_AXIS, MP_AXIS))
+        dims.append((SP_AXIS, n_sp))
+    if n_pp > 1:
+        from legommenders_tpu.parallel.pipeline import PP_AXIS
+        dims.append((PP_AXIS, n_pp))
+    arr = np.asarray(devices).reshape([d for _, d in dims])
+    return Mesh(arr, tuple(a for a, _ in dims))
 
 
 def mesh_from_policy(cfg, devices=None) -> Mesh:
@@ -145,12 +169,16 @@ def mesh_from_policy(cfg, devices=None) -> Mesh:
           mp: 2                  # model-parallel width (table row-sharding
                                  #   + Megatron-TP on LM slices)
           sp: 1                  # sequence-parallel width
+          pp: 1                  # pipeline-parallel width (LM slices with
+                                 #   pipeline_stages stage over this axis;
+                                 #   the Trainer activates the ambient PP
+                                 #   mesh when pp > 1)
           catalog_parallel: true # routes the Trainer through
                                  #   parallel/catalog.py (read by the
                                  #   Trainer, not here)
           min_rows_to_shard: 0   # embedding-table sharding threshold
     `mesh: true` (bare flag) means "all visible devices, pure dp".
-    Uses the first dp*mp*sp of `devices` (default jax.devices()).
+    Uses the first dp*mp*sp*pp of `devices` (default jax.devices()).
 
     This is the config-only composition contract of the reference
     (trainer.py:299-313) extended to multi-chip — no reference counterpart
@@ -165,14 +193,15 @@ def mesh_from_policy(cfg, devices=None) -> Mesh:
     n = len(devices)
     n_mp = int(cfg.get("mp") or 1)
     n_sp = int(cfg.get("sp") or 1)
+    n_pp = int(cfg.get("pp") or 1)
     dp = cfg.get("dp")
-    n_dp = int(dp) if dp else max(1, n // (n_mp * n_sp))
-    need = n_dp * n_mp * n_sp
+    n_dp = int(dp) if dp else max(1, n // (n_mp * n_sp * n_pp))
+    need = n_dp * n_mp * n_sp * n_pp
     if need > n:
         raise ValueError(
-            f"mesh policy wants {n_dp}x{n_mp}x{n_sp}={need} devices, "
+            f"mesh policy wants {n_dp}x{n_mp}x{n_sp}x{n_pp}={need} devices, "
             f"only {n} visible")
-    return make_mesh(n_dp, n_mp, n_sp, devices=devices[:need])
+    return make_mesh(n_dp, n_mp, n_sp, devices=devices[:need], n_pp=n_pp)
 
 
 def batch_spec() -> P:

@@ -152,11 +152,20 @@ def gpipe_tree(stage_fn: Callable, stage_params, x, mesh: Mesh,
         return out
 
     spec_params = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
-    spec_x = jax.tree_util.tree_map(lambda _: P(), x_mb)
+    # composition with data parallelism: when the mesh carries a dp axis,
+    # the per-microbatch row dim is sharded over it — each (dp, pp)
+    # device pipelines its own mb/n_dp rows; ppermute stays within the dp
+    # slice. Without this, every dp replica would redundantly process the
+    # full microbatch (P() = replicated).
+    data_axis = None
+    if "dp" in mesh.axis_names and mesh.shape["dp"] > 1 and \
+            mb % mesh.shape["dp"] == 0:
+        data_axis = "dp"
+    spec_x = jax.tree_util.tree_map(lambda _: P(None, data_axis), x_mb)
     out = shard_map(
         per_device, mesh=mesh,
         in_specs=(spec_params, spec_x),
-        out_specs=jax.tree_util.tree_map(lambda _: P(), x_mb),
+        out_specs=spec_x,
         check_rep=False,
     )(stage_params, x_mb)
     return jax.tree_util.tree_map(

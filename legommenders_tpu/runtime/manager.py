@@ -43,15 +43,15 @@ class Manager:
             dtype = jnp.float32
 
         self.data = data if data is not None else LegoData.from_config(data_cfg)
-        self.lego_cfg = LegoConfig.from_configs(
-            self.data, model_cfg or {}, embed_cfg, dtype=dtype)
-        self.model, self.contents, self.hub = self.lego_cfg.build()
 
         # first-class multi-device policy (exp.policy.mesh — config-only
         # composition like everything else, reference trainer.py:299-313;
-        # the mesh itself has no reference counterpart, SURVEY §2.9)
+        # the mesh itself has no reference counterpart, SURVEY §2.9).
+        # Parsed BEFORE the model build: pp > 1 must reach the LM slice's
+        # pipeline_stages knob at construction time.
         self.mesh = None
         self.catalog_parallel = False
+        model_cfg = dict(model_cfg or {})
         mesh_cfg = self.policy.get("mesh")
         if mesh_cfg:
             from legommenders_tpu.parallel.mesh import mesh_from_policy
@@ -63,6 +63,13 @@ class Manager:
                     mesh_cfg.get("min_rows_to_shard") or 0)
             else:
                 self.mesh_min_rows = 0
+            n_pp = self.mesh.shape.get("pp", 1)
+            if n_pp > 1:
+                model_cfg = self._apply_pp_policy(model_cfg, n_pp)
+
+        self.lego_cfg = LegoConfig.from_configs(
+            self.data, model_cfg, embed_cfg, dtype=dtype)
+        self.model, self.contents, self.hub = self.lego_cfg.build()
 
         self.cache = None
         if self.lego_cfg.use_fast_eval and self._caching_allowed():
@@ -71,6 +78,40 @@ class Manager:
                 self.data.history_matrix(),
                 page_size=self.lego_cfg.cache_page_size,
                 mesh=self.mesh)
+
+    def _apply_pp_policy(self, model_cfg: dict, n_pp: int) -> dict:
+        """Route `exp.policy.mesh.pp` to the LM slice: default the item
+        operator's `pipeline_stages` to the mesh pp width (an explicit
+        item_config.pipeline_stages wins, but must equal pp). Pipeline
+        staging only exists for LM layer stacks — any other operator, or
+        catalog_parallel (whose shard_map cannot nest the gpipe shard_map),
+        is a loud config error, not a silent no-op."""
+        from legommenders_tpu.utils.registry import OPERATORS
+
+        if self.catalog_parallel:
+            raise SystemExit(
+                "exp.policy.mesh: pp > 1 cannot combine with "
+                "catalog_parallel (the catalog shard_map cannot nest the "
+                "pipeline shard_map) — pick one")
+        meta = dict(model_cfg.get("meta") or {})
+        item_name = meta.get("item")
+        item_cls = OPERATORS[item_name] if item_name in OPERATORS else None
+        if (item_cls is None or
+                "pipeline_stages" not in getattr(
+                    item_cls, "__dataclass_fields__", {})):
+            raise SystemExit(
+                f"exp.policy.mesh.pp={n_pp} requires an LM item operator "
+                f"with a pipeline_stages knob; meta.item={item_name!r} "
+                f"has none")
+        cfg = dict(model_cfg.get("config") or {})
+        icfg = dict(cfg.get("item_config") or {})
+        stages = int(icfg.get("pipeline_stages") or 0)
+        if stages and stages != n_pp:
+            raise SystemExit(
+                f"item_config.pipeline_stages={stages} != mesh pp={n_pp}")
+        icfg["pipeline_stages"] = n_pp
+        cfg["item_config"] = icfg
+        return {**model_cfg, "config": cfg}
 
     def prepare_lm_cache(self, params, regenerate: bool = False) -> bool:
         """Layer-split LM caching: if the item operator is an LMOperator

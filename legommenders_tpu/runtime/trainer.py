@@ -162,6 +162,14 @@ class Trainer:
             # sp axis at trace time (parallel/mesh.sequence_parallel)
             from legommenders_tpu.parallel.mesh import set_sp_mesh
             set_sp_mesh(mesh)
+        if mesh.shape.get("pp", 1) > 1:
+            # ambient PP mesh: LM slices with pipeline_stages (injected by
+            # the Manager from mesh.pp) gpipe their layer stack over the pp
+            # axis at trace time. Eval paths deactivate it (no_pipeline):
+            # staging is a training-throughput feature and the fast-eval
+            # cache builds run inside their own shard_map.
+            from legommenders_tpu.parallel.mesh import set_pp_mesh
+            set_pp_mesh(mesh)
         self.log.info(
             f"mesh policy active: {dict(mesh.shape)}"
             + (" (catalog-parallel)" if self.m.catalog_parallel else ""))
@@ -175,11 +183,23 @@ class Trainer:
         return res[self.m.dev_metric]
 
     def _simple_dev_loss(self) -> float:
-        """Loss-only dev (reference trainer.py:126-153, simple_dev)."""
+        """Loss-only dev (reference trainer.py:126-153, simple_dev).
+
+        simple_dev exists precisely for big dev sets, so the batcher is
+        built once and the host->device conversion runs in a prefetch
+        thread overlapping the jitted loss (like the train loop)."""
+        from legommenders_tpu.parallel.mesh import no_pipeline
+
         if not hasattr(self, "_dev_loss_fn"):
             loss_fn = make_loss_fn(self.m.model, self.m.contents.columns,
                                    self.m.lego_cfg.use_neg_sampling)
             self._dev_loss_fn = jax.jit(loss_fn)
+            from legommenders_tpu.data.pipeline import TrainBatcher
+            self._dev_batcher = TrainBatcher(
+                self.m.data, int(self.m.policy["batch_size"]),
+                neg_count=self.m.lego_cfg.neg_count,
+                use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
+                seed=self.seed, phase="dev")
         jitted = self._dev_loss_fn
         rng = jax.random.PRNGKey(0)
         meaner = Meaner()
@@ -188,15 +208,16 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(self.m.mesh, P())
             conv = lambda v: jax.device_put(jnp.asarray(v), repl)
-        from legommenders_tpu.data.pipeline import TrainBatcher
-        batcher = TrainBatcher(
-            self.m.data, int(self.m.policy["batch_size"]),
-            neg_count=self.m.lego_cfg.neg_count,
-            use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
-            seed=self.seed, phase="dev")
-        for batch in batcher.epoch(shuffle=False):
-            jb = {k: conv(v) for k, v in batch.items()}
-            meaner.add(float(jitted(self.params, jb, rng)))
+
+        def device_batches():
+            for b in self._dev_batcher.epoch(shuffle=False):
+                yield {k: conv(v) for k, v in b.items()}
+
+        # device-side losses; one float() sync per batch is unavoidable
+        # for the running mean, but the NEXT batch is already in flight
+        with no_pipeline():
+            for jb in Prefetcher(device_batches(), depth=4):
+                meaner.add(float(jitted(self.params, jb, rng)))
         return meaner.mean
 
     # ------------------------------------------------------------------ #
@@ -223,14 +244,42 @@ class Trainer:
             from legommenders_tpu.parallel.mesh import shard_batch
             placed_contents, _ = place_catalog(
                 dict(self.m.contents.columns), mesh)
-            raw_step = make_catalog_parallel_step(
-                self.m.model, self.optimizer, mesh,
-                use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
-                seed=self.seed, rng_impl=policy.get("rng_impl"))
-            step_fn = (lambda p, o, jb, i:
-                       raw_step(p, o, placed_contents, jb, i))
-            place_batch = lambda b: shard_batch(b, mesh)
-            device_batching = False
+            if device_batching:
+                # fused composition: the device pipeline's substrate rides
+                # mesh-replicated, the (B,) idx dp-sharded, and in-jit
+                # assembly feeds the catalog-sharded encode — per-step
+                # host traffic is the idx slice, same as plain dp
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from legommenders_tpu.data.device_pipeline import (
+                    DeviceTrainPipeline,
+                )
+                from legommenders_tpu.parallel.mesh import DP_AXIS
+                from legommenders_tpu.runtime.steps import default_rng_impl
+                dpipe = DeviceTrainPipeline(
+                    self.m.data, int(policy["batch_size"]),
+                    neg_count=self.m.lego_cfg.neg_count,
+                    use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
+                    seed=self.seed)
+                dpipe._replicate_substrate(NamedSharding(mesh, P()))
+                raw_step = make_catalog_parallel_step(
+                    self.m.model, self.optimizer, mesh,
+                    use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
+                    seed=self.seed,
+                    rng_impl=str(policy.get("rng_impl")
+                                 or default_rng_impl()),
+                    assemble=dpipe.assemble)
+                dp_sh = NamedSharding(mesh, P(DP_AXIS))
+                step_fn = (lambda p, o, idx, i: raw_step(
+                    p, o, placed_contents,
+                    jax.device_put(jnp.asarray(idx), dp_sh), i))
+            else:
+                raw_step = make_catalog_parallel_step(
+                    self.m.model, self.optimizer, mesh,
+                    use_neg_sampling=self.m.lego_cfg.use_neg_sampling,
+                    seed=self.seed, rng_impl=policy.get("rng_impl"))
+                step_fn = (lambda p, o, jb, i:
+                           raw_step(p, o, placed_contents, jb, i))
+                place_batch = lambda b: shard_batch(b, mesh)
         elif device_batching:
             # device-resident substrate: per-step host traffic is just the
             # permuted row indices (data/device_pipeline.py); composes with

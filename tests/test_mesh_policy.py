@@ -52,6 +52,10 @@ def test_mesh_from_policy_variants():
     assert dict(mesh.shape) == {"dp": 8, "mp": 1}
     mesh = mesh_from_policy({"mp": 2})  # dp defaults to the rest
     assert dict(mesh.shape) == {"dp": 4, "mp": 2}
+    mesh = mesh_from_policy({"pp": 2})  # pipeline axis, dp = the rest
+    assert dict(mesh.shape) == {"dp": 4, "mp": 1, "pp": 2}
+    mesh = mesh_from_policy({"dp": 2, "mp": 2, "pp": 2})
+    assert dict(mesh.shape) == {"dp": 2, "mp": 2, "pp": 2}
     with pytest.raises(ValueError):
         mesh_from_policy({"dp": 97})
     with pytest.raises(ValueError):
@@ -125,6 +129,24 @@ def test_trainer_mesh_mp_shards_tables_and_opt_state():
 
     # the placed state still trains
     t.train()
+
+
+def test_catalog_parallel_composes_with_device_batching():
+    """VERDICT r4 item 5: catalog_parallel + device_batching runs the
+    FUSED pipeline (idx-only host traffic) and — because the catalog step
+    mirrors the fused dp step's rng split — reproduces the plain
+    dp+device_batching loss trajectory exactly (dropout off)."""
+    t_dp, res_dp = _train({"dp": 8}, device_batching=True)
+    t_cat, res_cat = _train({"dp": 8, "catalog_parallel": True},
+                            device_batching=True)
+    assert t_cat.m.catalog_parallel
+    flat0 = jax.tree_util.tree_leaves(t_dp.params)
+    flat1 = jax.tree_util.tree_leaves(t_cat.params)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    for k in res_dp:
+        assert abs(res_dp[k] - res_cat[k]) < 5e-3, (k, res_dp[k], res_cat[k])
 
 
 def test_trainer_catalog_parallel_matches_single_device():
@@ -235,6 +257,132 @@ def test_catalog_parallel_lm_cache_end_to_end():
     assert LM_HIDDEN_KEY in m.contents.columns
     item_repr = m.cache.item_repr
     assert not item_repr.sharding.is_fully_replicated
+
+
+def test_mesh_policy_pp_bert_parity():
+    """exp.policy.mesh.pp stages the LM slice by CONFIG alone (VERDICT r4
+    item 1): the Manager injects pipeline_stages=pp into the Bert item op,
+    the Trainer activates the ambient pp mesh, and train+eval metrics match
+    the single-device serial run (dropout off => exact math, only XLA
+    scheduling differs)."""
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.parallel.mesh import set_pp_mesh
+
+    def run(mesh_cfg):
+        set_pp_mesh(None)
+        data = SyntheticProcessor(
+            num_items=40, num_users=24, title_len=8, history_len=4,
+            inters_per_user=10).as_lego_data()
+        model_cfg = {
+            "meta": {"item": "Bert", "user": "Ada", "predictor": "Dot"},
+            "config": {
+                "use_item_content": True, "hidden_size": 16,
+                "use_neg_sampling": True, "neg_count": 2,
+                "cache_page_size": 16,
+                "item_config": {"num_hidden_layers": 2,
+                                "num_attention_heads": 2,
+                                "dropout": 0.0, "lora_dropout": 0.0,
+                                "attention_pack": 0},
+                "user_config": {"dropout": 0.0},
+            },
+        }
+        policy = {"batch_size": 16, "epoch": 1, "epoch_batch": 3,
+                  "lr": 1e-3}
+        if mesh_cfg:
+            policy["mesh"] = mesh_cfg
+        m = Manager({}, model_cfg, exp_cfg={"policy": policy}, data=data)
+        t = Trainer(m, seed=9)
+        t.train()
+        res = t.test()
+        set_pp_mesh(None)
+        return m, res
+
+    m0, res0 = run(None)
+    m1, res1 = run({"dp": 4, "pp": 2})
+    # the policy reached the slice: stages injected, mesh carries pp
+    assert m1.model.item_op.pipeline_stages == 2
+    assert dict(m1.mesh.shape)["pp"] == 2
+    assert m0.model.item_op.pipeline_stages == 0
+    for k in res0:
+        assert abs(res0[k] - res1[k]) < 5e-3, (k, res0[k], res1[k])
+
+
+def test_mesh_policy_pp_rejects_bad_combos():
+    """pp with a non-LM operator or with catalog_parallel is a loud config
+    error (silent serial fallback would misreport the experiment)."""
+    with pytest.raises(SystemExit, match="pipeline_stages"):
+        _manager({"dp": 4, "pp": 2})  # CNN item op has no pipeline knob
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    data = SyntheticProcessor(
+        num_items=20, num_users=10, title_len=8, history_len=4,
+        inters_per_user=6).as_lego_data()
+    model_cfg = {
+        "meta": {"item": "Bert", "user": "Ada", "predictor": "Dot"},
+        "config": {"use_item_content": True, "hidden_size": 16,
+                   "item_config": {"num_hidden_layers": 2,
+                                   "num_attention_heads": 2}},
+    }
+    with pytest.raises(SystemExit, match="catalog_parallel"):
+        Manager({}, model_cfg, exp_cfg={"policy": {
+            "batch_size": 8,
+            "mesh": {"dp": 2, "pp": 2, "catalog_parallel": True}}},
+            data=data)
+
+
+def _eval_only(model_cfg, mesh_cfg, seed=11):
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+
+    data = SyntheticProcessor(
+        num_items=60, num_users=30, title_len=8, history_len=6,
+        inters_per_user=10).as_lego_data()
+    policy = {"batch_size": 16, "epoch": 1, "epoch_batch": 2, "lr": 1e-3}
+    if mesh_cfg:
+        policy["mesh"] = mesh_cfg
+    m = Manager({}, model_cfg, exp_cfg={"policy": policy}, data=data)
+    t = Trainer(m, seed=seed)
+    t.init()
+    return t, t.evaluator.evaluate(t.params, "test")
+
+
+MINER_CFG = {
+    "meta": {"item": "Transformer", "user": "PolyAttention",
+             "predictor": "MINER"},
+    "config": {"use_item_content": True, "hidden_size": 16,
+               "item_config": {"num_hidden_layers": 1, "dropout": 0.0,
+                               "attention_dropout": 0.0},
+               "user_config": {"num_context_codes": 4,
+                               "context_code_dim": 8}},
+}
+
+DIN_CFG = {
+    "meta": {"item": "Pooling", "user": "NullConcat", "predictor": "DIN"},
+    "config": {"use_item_content": True, "hidden_size": 16,
+               "use_neg_sampling": False},
+}
+
+
+@pytest.mark.parametrize("cfg", [MINER_CFG, DIN_CFG],
+                         ids=["miner", "din"])
+def test_uncached_eval_device_path_parity(cfg):
+    """VERDICT r4 item 4: allow_caching=False models must (a) evaluate via
+    the device-resident full-forward scan with values equal to the
+    host-batched loop, and (b) dp-shard over the mesh with single-device
+    parity instead of replicating every forward."""
+    from legommenders_tpu.utils.timer import Timer
+
+    t0, res0 = _eval_only(cfg, None)
+    assert t0.m.cache is None  # really the uncached path
+    # (a) device scan vs the host-batched fallback on one device
+    host = t0.evaluator.evaluate(t0.params, "test", latency_timer=Timer())
+    for k in res0:
+        assert abs(res0[k] - host[k]) < 1e-6, (k, res0[k], host[k])
+    # (b) mesh dp=8 parity
+    t1, res1 = _eval_only(cfg, {"dp": 8})
+    for k in res0:
+        assert abs(res0[k] - res1[k]) < 5e-4, (k, res0[k], res1[k])
+    # the full-phase pages really ride dp-sharded on the mesh
+    ph = t1.evaluator._get_full_phase("test")
+    assert not ph.u_pages.sharding.is_fully_replicated
 
 
 def test_mesh_policy_sp_flatten_transformer():
