@@ -31,13 +31,18 @@ def collect_scores(step_fn, params, batcher: EvalBatcher,
     (scores, labels, groups) for valid rows. `needed_keys` limits what is
     shipped to the device (the cached fast-eval path only reads
     user_id/candidates — skipping the history matrix halves eval H2D).
-    With a mesh, batches are placed replicated so they compose with
-    mesh-sharded params."""
+    With a mesh, batch rows are placed dp-SHARDED (each device computes
+    1/n_dp of every forward; GSPMD all-gathers only the tiny score
+    column); non-dp-divisible batches fall back to replicated."""
     place = jnp.asarray
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        repl = NamedSharding(mesh, P())
-        place = lambda v: jax.device_put(jnp.asarray(v), repl)
+        from legommenders_tpu.parallel.mesh import DP_AXIS
+        n_dp = mesh.shape.get("dp", 1)
+        bs = batcher.batch_size
+        spec = P(DP_AXIS) if n_dp > 1 and bs % n_dp == 0 else P()
+        sh = NamedSharding(mesh, spec)
+        place = lambda v: jax.device_put(jnp.asarray(v), sh)
 
     device_scores, valids, labels_all, groups_all = [], [], [], []
     n = 0
@@ -83,6 +88,15 @@ class _DevicePhase:
         self.groups = (store[cm.group_col].astype(np.int64)
                        if cm.group_col in store else users)
         self.n = len(users)
+        # device copies for the on-device metric pool (placed once; the
+        # int32 groups cast is safe — group ids are dense row-scale ints)
+        place = jnp.asarray
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            place = lambda v: jax.device_put(jnp.asarray(v), repl)
+        self.labels_d = place(self.labels)
+        self.groups_d = place(self.groups.astype(np.int32))
         page = min(page, max(8, self.n))
         if mesh is not None:
             # page rows shard over dp — width must divide evenly
@@ -121,6 +135,9 @@ class Evaluator:
         self._cached_step = None
         self._device_phases: Dict[str, _DevicePhase] = {}
         self._scorer = None
+        self._full_phases: Dict[str, _DevicePhase] = {}
+        self._full_scorer = None
+        self._full_substrate = None
 
     def _get_full_step(self):
         if self._full_step is None:
@@ -186,16 +203,115 @@ class Evaluator:
         return np.asarray(scores)[:ph.n]
 
     # ------------------------------------------------------------------ #
+    # device-resident FULL-FORWARD scoring (uncached models)             #
+    # ------------------------------------------------------------------ #
+    def _get_full_phase(self, phase: str) -> _DevicePhase:
+        # full forwards run the item op per row — page at the eval batch
+        # size (same per-step compute as the host-batched path), not the
+        # gather-only DEVICE_EVAL_PAGE
+        if phase not in self._full_phases:
+            self._full_phases[phase] = _DevicePhase(
+                self.data, phase, self.batch_size, self.mesh)
+        return self._full_phases[phase]
+
+    def _get_full_scorer(self):
+        """jitted whole-phase scorer for models WITHOUT repr caches
+        (allow_caching=False — MINER/Poly/DIN — or use_fast_eval off):
+        one lax.scan whose body synthesizes the standard batch schema by
+        device gathers (history/mask/user-extra rows) and runs the full
+        model forward. Replaces the reference's host mini-batch loop
+        (base_lego.py:349-398) that round-tripped every batch; under a
+        mesh the page rows ride dp-sharded (_DevicePhase pads pages to the
+        dp multiple)."""
+        if self._full_scorer is None:
+            from legommenders_tpu.data.pipeline import _user_extra_cols
+            from legommenders_tpu.data.token_store import UNSET
+
+            place = jnp.asarray
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(self.mesh, P())
+                place = lambda v: jax.device_put(jnp.asarray(v), repl)
+            hist = self.data.history_matrix()
+            substrate = {
+                "hist": place(np.where(hist == UNSET, 0,
+                                       hist).astype(np.int32)),
+                "mask": place((hist != UNSET).astype(np.int32)),
+                "extra": {c: place(np.where(m == UNSET, 0,
+                                            m).astype(np.int32))
+                          for c, m in _user_extra_cols(self.data).items()},
+                "contents": {c: place(np.asarray(a))
+                             for c, a in self.item_contents.items()},
+            }
+            self._full_substrate = substrate
+            model = self.model
+
+            def score_all(params, sub, u_pages, i_pages):
+                def body(carry, uv):
+                    u, i = uv
+                    batch = {"history": jnp.take(sub["hist"], u, axis=0),
+                             "mask": jnp.take(sub["mask"], u, axis=0),
+                             "candidates": i[:, None],
+                             "user_id": u}
+                    for c, m in sub["extra"].items():
+                        batch[c] = jnp.take(m, u, axis=0)
+                    s = model.apply(params, batch, sub["contents"],
+                                    training=False)
+                    return carry, s.reshape(-1)
+
+                _, scores = jax.lax.scan(body, 0, (u_pages, i_pages))
+                return scores.reshape(-1)
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._full_scorer = jax.jit(
+                    score_all,
+                    out_shardings=NamedSharding(self.mesh, P()))
+            else:
+                self._full_scorer = jax.jit(score_all)
+        return self._full_scorer
+
+    def score_phase_device_full(self, params, phase: str):
+        """(n,) DEVICE scores for a whole phase via full forwards."""
+        ph = self._get_full_phase(phase)
+        scorer = self._get_full_scorer()
+        scores = scorer(params, self._full_substrate,
+                        ph.u_pages, ph.i_pages)
+        return scores[:ph.n]
+
+    # ------------------------------------------------------------------ #
     def evaluate(self, params, phase: str,
                  latency_timer: Optional[Timer] = None,
                  use_cache: Optional[bool] = None,
                  max_batches: int = 0) -> Dict[str, float]:
+        # pipeline staging is a training feature: eval batch/page sizes are
+        # arbitrary and the sharded cache builds run inside their own
+        # shard_map, so the ambient PP mesh is deactivated for the whole
+        # eval trace (same params, serial layer stack — exact math)
+        from legommenders_tpu.parallel.mesh import no_pipeline
+        with no_pipeline():
+            return self._evaluate(params, phase, latency_timer,
+                                  use_cache, max_batches)
+
+    def _evaluate(self, params, phase: str,
+                  latency_timer: Optional[Timer] = None,
+                  use_cache: Optional[bool] = None,
+                  max_batches: int = 0) -> Dict[str, float]:
         use_cache = (self.cache is not None) if use_cache is None else use_cache
         if use_cache:
             self.cache.cache(params)
             if latency_timer is None and not max_batches:
-                # hot path: whole-phase device scoring
+                # hot path: whole-phase device scoring; when every metric
+                # is device-supported the scores NEVER leave HBM — the
+                # jitted metric pool returns a handful of scalars
                 ph = self._get_device_phase(phase)
+                if self.pool.supports_device:
+                    scorer = self._get_scorer()
+                    scores_dev = scorer(
+                        params, self.cache.item_repr, self.cache.user_repr,
+                        ph.u_pages, ph.i_pages)[:ph.n]
+                    return self.pool.calculate_device(
+                        scores_dev, ph.labels_d, ph.groups_d)
                 scores = self.score_phase_device(params, phase)
                 return self.pool(scores, ph.labels, ph.groups)
             cached = self._get_cached_step()
@@ -203,6 +319,17 @@ class Evaluator:
             step = lambda p, b: cached(p, item_repr, user_repr, b)
             needed_keys = ("user_id", "candidates")
         else:
+            if latency_timer is None and not max_batches:
+                # uncached hot path: whole-phase full-forward scan on
+                # device — no host batch loop, one D2H (or none, when the
+                # metric pool is device-supported too)
+                ph = self._get_full_phase(phase)
+                scores_dev = self.score_phase_device_full(params, phase)
+                if self.pool.supports_device:
+                    return self.pool.calculate_device(
+                        scores_dev, ph.labels_d, ph.groups_d)
+                return self.pool(np.asarray(scores_dev), ph.labels,
+                                 ph.groups)
             step = self._get_full_step()
             needed_keys = None
         batcher = EvalBatcher(self.data, phase, self.batch_size)

@@ -295,6 +295,27 @@ class MetricPool:
 
     __call__ = calculate
 
+    # -- device engine --------------------------------------------------
+    @property
+    def supports_device(self) -> bool:
+        """True when every metric runs in the jitted device engine
+        (runtime/device_metrics.py) — the evaluator then never ships the
+        (n,) score/label/group columns to the host."""
+        from legommenders_tpu.runtime.device_metrics import DEVICE_SUPPORTED
+        return bool(self.metrics) and all(
+            m.group and m.name in DEVICE_SUPPORTED for m in self.metrics)
+
+    def calculate_device(self, scores, labels, groups) -> Dict[str, float]:
+        """Compute on DEVICE arrays; falls back to the numpy engine (one
+        D2H) when a metric is not device-supported. Value parity with the
+        numpy oracle is pinned by tests/test_device_metrics.py."""
+        if not self.supports_device:
+            return self.calculate(np.asarray(scores), np.asarray(labels),
+                                  np.asarray(groups))
+        from legommenders_tpu.runtime.device_metrics import compute_device
+        vals = compute_device(self.metrics, scores, labels, groups)
+        return OrderedDict((str(m), vals[str(m)]) for m in self.metrics)
+
     @classmethod
     def is_minimize(cls, metric) -> bool:
         if isinstance(metric, Metric):

@@ -60,23 +60,40 @@ def main():
     cold_s = time.perf_counter() - t0
 
     # --- steady-state: what an epoch loop sees ---------------------------
-    # cache rebuild happens every eval (params change between epochs)
+    # cache rebuild happens every eval (params change between epochs);
+    # since round 5 the rebuild is one fused lax.map dispatch and the
+    # metric pool runs on device (no (n,) D2H on the hot path)
+    m.cache.clean()
+    t0 = time.perf_counter()
+    res_steady = ev.evaluate(params, "test")
+    total_s = time.perf_counter() - t0
+
+    # breakdown (re-run each phase separately)
     m.cache.clean()
     t0 = time.perf_counter()
     m.cache.cache(params)
     jax.block_until_ready(m.cache.user_repr)
     cache_s = time.perf_counter() - t0
 
+    ph = ev._get_device_phase("test")
+    scorer = ev._get_scorer()
     t0 = time.perf_counter()
-    scores = ev.score_phase_device(params, "test")
+    scores_dev = scorer(params, m.cache.item_repr, m.cache.user_repr,
+                        ph.u_pages, ph.i_pages)[:ph.n]
+    jax.block_until_ready(scores_dev)
     score_s = time.perf_counter() - t0
 
-    ph = ev._get_device_phase("test")
     t0 = time.perf_counter()
-    res2 = ev.pool(scores, ph.labels, ph.groups)
+    res2 = ev.pool.calculate_device(scores_dev, ph.labels_d, ph.groups_d)
     metrics_s = time.perf_counter() - t0
 
-    total_s = cache_s + score_s + metrics_s
+    # host-pool oracle (also times the OLD metric path for the record)
+    t0 = time.perf_counter()
+    res_host = ev.pool(jax.device_get(scores_dev), ph.labels, ph.groups)
+    host_metrics_s = time.perf_counter() - t0
+    for k in res_host:
+        assert abs(res2[k] - res_host[k]) < 1e-6, (k, res2[k], res_host[k])
+
     print(json.dumps({
         "metric": "evaluator_rows_per_sec",
         "value": round(n_rows / total_s, 0),
@@ -85,13 +102,14 @@ def main():
         "total_s": round(total_s, 3),
         "cache_build_s": round(cache_s, 3),
         "score_s": round(score_s, 4),
-        "metrics_s": round(metrics_s, 3),
+        "metrics_device_s": round(metrics_s, 4),
+        "metrics_host_s_for_reference": round(host_metrics_s, 3),
         "cold_first_eval_s": round(cold_s, 2),
         "host_fixture_build_s": round(build_s, 1),
         "gauc": round(float(res2.get("GAUC", float("nan"))), 4),
         "backend": jax.default_backend(),
     }))
-    assert abs(res["GAUC"] - res2["GAUC"]) < 1e-9
+    assert abs(res["GAUC"] - res2["GAUC"]) < 1e-6
 
 
 if __name__ == "__main__":
