@@ -63,7 +63,7 @@ class LegoConfig:
     use_item_content: bool = True
     use_fast_eval: bool = True
     item_page_size: int = 0
-    item_page_remat: str = "full"   # "full" | "dots" | "none"
+    item_page_remat: str = "full"   # "full" | "dots" | "ffn" | "none"
     full_catalog_encode: str = "auto"
     cache_page_size: int = 512
     item_config: dict = field(default_factory=dict)

@@ -186,6 +186,18 @@ class Legommender(nn.Module):
             wrapped = nn.remat(
                 body, prevent_cse=False,
                 policy=jax.checkpoint_policies.dots_saveable)
+        elif self.item_page_remat == "ffn":
+            # selective residual saving (round-5 MFU lever): keep ONLY the
+            # per-layer FFN second-GEMM outputs (lm/layers.FFN_OUT_TAG) as
+            # residuals — tokens x D x n_layers bf16 total, page-count
+            # invariant — and rematerialize everything else. Cuts the
+            # widest GEMM out of the backward recompute where "dots"
+            # (all GEMM outputs, 72.7 GB at bench_lm geometry) cannot fit.
+            from legommenders_tpu.models.lm.layers import FFN_OUT_TAG
+            wrapped = nn.remat(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    FFN_OUT_TAG))
         else:
             wrapped = nn.remat(body, prevent_cse=False)
         _, ys = nn.scan(

@@ -220,3 +220,53 @@ def test_dropout_reuse_opt_and_llama_guard():
         op.init(jax.random.PRNGKey(0),
                 jnp.zeros((1, 4, 4096), jnp.float32),
                 jnp.ones((1, 4), jnp.int32))
+
+
+def test_ffn_remat_policy_grad_parity():
+    """round-5 lever: `item_page_remat: "ffn"` (save_only_these_names on
+    the FFN second-GEMM outputs) must leave loss AND grads identical to
+    full remat — remat policies change residual storage, never math."""
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.data.pipeline import TrainBatcher
+    from legommenders_tpu.models.lego_config import LegoConfig
+    from legommenders_tpu.runtime.steps import init_params, make_loss_fn
+
+    data = SyntheticProcessor(num_items=48, num_users=20, title_len=8,
+                              history_len=4, inters_per_user=8).as_lego_data()
+
+    def grads_for(remat):
+        cfg = LegoConfig(
+            data=data, item_operator="Bert", user_operator="Ada",
+            predictor="Dot", hidden_size=16,
+            item_page_size=16, item_page_remat=remat,
+            item_config={"num_hidden_layers": 2, "num_attention_heads": 2,
+                         "tune_from": 1, "lora_r": 4, "lora_dropout": 0.0,
+                         "dropout": 0.0})
+        model, contents, _ = cfg.build()
+        # synthesize the lm-cache column the tune_from path expects
+        import jax.numpy as jnp
+        from legommenders_tpu.models.operators.lm_ops import (
+            LM_HIDDEN_KEY, LM_MASK_KEY)
+        n = data.num_items
+        rng = np.random.default_rng(0)
+        cols = dict(contents.columns)
+        first = next(iter(cols.values()))
+        L = 9
+        cols[LM_HIDDEN_KEY] = jnp.asarray(
+            rng.standard_normal((n, L, 16)), jnp.float32)
+        cols[LM_MASK_KEY] = jnp.ones((n, L), jnp.int32)
+        tb = TrainBatcher(data, batch_size=8, neg_count=2, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in next(tb.epoch()).items()}
+        params = init_params(model, batch, cols)
+        loss_fn = make_loss_fn(model, cols, True)
+        loss, g = jax.value_and_grad(loss_fn)(params, batch,
+                                              jax.random.PRNGKey(0))
+        return float(loss), g
+
+    l_full, g_full = grads_for("full")
+    l_ffn, g_ffn = grads_for("ffn")
+    assert abs(l_full - l_ffn) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_ffn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
