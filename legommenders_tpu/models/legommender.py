@@ -158,24 +158,21 @@ class Legommender(nn.Module):
                       training: bool, catalog: bool) -> jnp.ndarray:
         """lax.scan over fixed-size pages of the flattened occurrences.
 
-        Static shapes (pad to a page multiple), params broadcast across
-        pages, per-page dropout rngs, and nn.remat so only one page's
-        activations are live in the backward. Catalog gradient plans are
+        Static shapes, params broadcast across pages, per-page dropout
+        rngs, and nn.remat so only one page's activations are live in the
+        backward. Pages are GATHERED inside the scan body (clipped ids,
+        tail rows re-encode the last row and are sliced off) instead of
+        reshaping the contents into a (n_pages, P, ...) xs array — the
+        reshape materialized a full HLO-temp COPY of the contents (+2.9 GB
+        at the 65k-item LM cache geometry, the difference between the
+        "ffn" remat policy fitting HBM or not). Catalog gradient plans are
         shape-bound to the full matrix, so they do not apply under paging
         (each page does its own lookup)."""
-        from legommenders_tpu.data.token_store import UNSET
-
         n_pages = -(-M // P)
-        pad = n_pages * P - M
-        paged = {}
-        for c, a in flat.items():
-            if pad:
-                widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
-                fill = 0.0 if jnp.issubdtype(a.dtype, jnp.floating) else UNSET
-                a = jnp.pad(a, widths, constant_values=fill)
-            paged[c] = a.reshape((n_pages, P) + a.shape[1:])
 
-        def body(mdl, carry, page):
+        def body(mdl, carry, pidx):
+            ids = jnp.clip(pidx * P + jnp.arange(P), 0, M - 1)
+            page = {c: jnp.take(a, ids, axis=0) for c, a in flat.items()}
             return carry, mdl._encode_flat(page, training=training,
                                            catalog=False)
 
@@ -205,7 +202,7 @@ class Legommender(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=0, out_axes=0,
-        )(self, (), paged)
+        )(self, (), jnp.arange(n_pages))
         out = ys.reshape((n_pages * P,) + ys.shape[2:])
         return out[:M]
 

@@ -88,8 +88,13 @@ class _DevicePhase:
         self.groups = (store[cm.group_col].astype(np.int64)
                        if cm.group_col in store else users)
         self.n = len(users)
-        # device copies for the on-device metric pool (placed once; the
-        # int32 groups cast is safe — group ids are dense row-scale ints)
+        # device copies for the on-device metric pool (placed once; group
+        # ids are processor-assigned row-scale ints — guard the int32 cast
+        # anyway so an exotic hash-id dataset fails loudly, not wrongly)
+        assert self.groups.size == 0 or (
+            self.groups.min() >= np.iinfo(np.int32).min
+            and self.groups.max() <= np.iinfo(np.int32).max), \
+            "group ids exceed int32 — device metric pool needs dense ids"
         place = jnp.asarray
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -138,7 +138,19 @@ def load_or_build_lm_cache(model, params, contents, data_name: str,
         os.makedirs(d, exist_ok=True)
         np.save(hpath, hidden)
         np.save(mpath, mask)
-    return {LM_HIDDEN_KEY: jnp.asarray(hidden, dtype=device_dtype),
+    # pad the token dim to a sublane multiple (8) when shipping to device:
+    # an unaligned L (e.g. 31) makes every consuming executable re-tile the
+    # whole (N, L, D) operand into padded layout — a 3 GB HLO-temp copy at
+    # MIND/BERT-base scale, measured the difference between the "ffn" remat
+    # policy fitting the v5e HBM or not. Padded positions carry mask 0, so
+    # attention/pooling never read them. On-disk cache stays unpadded.
+    hidden_d = jnp.asarray(hidden, dtype=device_dtype)
+    mask = np.asarray(mask)
+    pad = (-hidden_d.shape[1]) % 8
+    if pad:
+        hidden_d = jnp.pad(hidden_d, ((0, 0), (0, pad), (0, 0)))
+        mask = np.pad(mask, ((0, 0), (0, pad)))
+    return {LM_HIDDEN_KEY: hidden_d,
             LM_MASK_KEY: jnp.asarray(mask)}
 
 
