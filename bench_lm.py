@@ -86,10 +86,13 @@ def main(argv):
             "use_neg_sampling": True, "neg_count": neg_count,
             "full_catalog_encode": "auto",
             "item_page_size": page_size,
-            # "full" is the only policy that fits: scan residuals are
-            # O(total tokens x saved intermediates), so "dots" at the 65k
-            # catalog wants 72.7G HBM (measured r3) regardless of page size
-            "item_page_remat": str(cli.get("remat") or "full"),
+            # remat policy: "dots" (all GEMM outputs) wants 72.7G HBM at
+            # the 65k catalog (measured r3) — infeasible. "ffn" (round 5)
+            # saves ONLY the per-layer FFN second-GEMM outputs (~6G,
+            # page-count invariant) and fits once the gather-paged scan +
+            # sublane-padded cache freed the 3G relayout copy: measured
+            # 8,933 vs 8,722 impr/s over "full" at batch 16384
+            "item_page_remat": str(cli.get("remat") or "ffn"),
             "cache_page_size": 2048 if not smoke else 64,
             "use_fast_eval": False,
             "item_config": {
