@@ -7,16 +7,23 @@ numpy engine stays the oracle in tests/test_device_metrics.py.
 
 Why: on the cached fast-eval path the (n,) score vector is ALREADY in HBM
 when metrics run; the host pool cost 0.53 s of the 1.54 s golden-run eval
-(lexsort + reduceats at 1.75M rows). Here the whole pool is ONE jitted
-program — a 2-key lexicographic `lax.sort` (group-major, score-desc),
-`segment_sum/min` keyed by the dense group index, and scalar outputs — so
-the host transfer is a handful of floats instead of the 21 MB
-scores+labels+groups round trip.
+(lexsort + reduceats at 1.75M rows) plus a 21 MB D2H. Here the whole pool
+is ONE jitted program returning a handful of scalars.
 
-Accuracy: ranks/counts are exact in f32 (all < 2^24); per-group values
-carry ~1e-7 relative error vs the f64 oracle; the final group means use a
-two-pass (mean + correction) reduction so the f32 mean over ~50k groups
-stays at oracle precision instead of drifting sqrt(G)*eps.
+Kernel-count discipline (measured on the v5e through the axon tunnel:
+~27 ms fixed per-call overhead, ~9 ms for the 3-operand 2-key sort, but
+~17 ms for EVERY n-segment scatter): the engine uses exactly ONE
+segment_sum — all per-group sums ride as columns of a single (n, m)
+stacked scatter — while group starts/ends come from cummax/cummin over
+the sorted order, AUC tie-run totals from exact integer cumsums +
+boundary gathers, and MRR0's first-positive-rank from the in-group
+positive-count cumsum (positions/ranks/counts are all < 2^24, so f32
+integer arithmetic is exact; no f32 cumsum of REAL values is ever
+differenced, which would cancel catastrophically at 1.75M rows).
+
+Accuracy: per-group values carry ~1e-7 relative error vs the f64 oracle;
+the final group means use a two-pass (mean + correction) reduction so the
+f32 mean over ~50k groups stays at oracle precision.
 """
 import functools
 from typing import Tuple
@@ -53,75 +60,121 @@ def _compute(scores, labels, groups, specs: Tuple[Tuple[str, int, str], ...]):
     idx = jnp.arange(n, dtype=jnp.int32)
     change = jnp.concatenate(
         [jnp.ones((1,), bool), gid[1:] != gid[:-1]])
-    seg = jnp.cumsum(change.astype(jnp.int32)) - 1        # dense 0..G-1
-    num_groups = change.sum(dtype=jnp.int32)
-    gvalid = idx < num_groups                             # per-group mask
 
-    def segsum(v):
-        return jax.ops.segment_sum(v, seg, num_segments=n)
+    # per-element group start/end offsets WITHOUT scatters: starts are a
+    # running max of boundary positions, ends the reverse running min
+    start = jax.lax.cummax(jnp.where(change, idx, 0))
+    change_end = jnp.concatenate([change[1:], jnp.ones((1,), bool)])
+    end = jax.lax.cummin(jnp.where(change_end, idx, n - 1), reverse=True)
 
-    starts = jax.ops.segment_min(idx, seg, num_segments=n)[seg]
-    pos = (idx - starts).astype(jnp.float32)
+    pos = (idx - start).astype(jnp.float32)
     rank = pos + 1.0
-    ones = jnp.ones_like(lab)
-    size_g = segsum(ones)
-    pos_g = segsum(lab)
-    neg_g = size_g - pos_g
-    safe_pos = jnp.maximum(pos_g, 1.0)
+    size = (end - start + 1).astype(jnp.float32)
+
+    # in-group inclusive positive count (exact: f32 cumsum of 0/1 stays
+    # integral below 2^24) — LRAP precision and MRR0 first-positive marker
+    inc_lab = jnp.cumsum(lab)
+    ex_lab = inc_lab - lab
+    cum_in = inc_lab - ex_lab[start]
 
     names = {name for name, _, _ in specs}
-    out = {}
+    cols = {}  # name -> per-element summand for the ONE stacked segsum
+
+    cols["lab"] = lab
+    if "MRR" in names:
+        cols["mrr"] = lab / rank
+    if "MRR0" in names:
+        # exactly one element per group has (positive AND cum_in == 1):
+        # the first positive in score order — its 1/rank IS the group MRR0
+        cols["mrr0"] = jnp.where((lab > 0) & (cum_in == 1.0),
+                                 1.0 / rank, 0.0)
+    if "LRAP" in names:
+        cols["lrap"] = jnp.where(lab > 0, cum_in / rank, 0.0)
+    if "NDCG" in names:
+        disc = 1.0 / jnp.log2(rank + 1.0)
+    for name, k, _key in specs:
+        if name == "NDCG":
+            cols[f"dcg{k}"] = lab * disc * (rank <= k)
+        elif name in ("HitRatio", "Recall"):
+            cols.setdefault(f"hits{k}", lab * (rank <= k))
+
+    # per-element group positive total, exact and scatter-free:
+    # inclusive cumsum gathered at the group end minus the exclusive
+    # cumsum at the group start
+    pos_cnt = inc_lab[end] - ex_lab[start]
+    neg_cnt = size - pos_cnt
+    safe_pos = jnp.maximum(pos_cnt, 1.0)
+
+    if "NDCG" in names:
+        for name, k, _key in specs:
+            if name == "NDCG":
+                cols[f"idcg{k}"] = disc * (rank <= jnp.minimum(
+                    pos_cnt, float(k)))
 
     if "GAUC" in names:
-        # average ascending rank over (group, score) tie runs == sklearn
-        asc = (size_g[seg] - 1.0) - pos
+        # average ascending rank over (group, score) tie runs == sklearn.
+        # Run totals via INT32 cumsums + run-boundary gathers: the global
+        # cumsum of ascending positions reaches ~n*avg_group_size/2 which
+        # overflows f32's exact-integer range (2^24) at MIND scale, but
+        # int32 keeps it exact. asc = size-1-pos simplifies to end - idx.
+        asc_i = end - idx
         same = jnp.concatenate(
             [jnp.zeros((1,), bool),
              (gid[1:] == gid[:-1]) & (s[1:] == s[:-1])])
-        run = jnp.cumsum((~same).astype(jnp.int32)) - 1
-        run_sum = jax.ops.segment_sum(asc, run, num_segments=n)[run]
-        run_cnt = jax.ops.segment_sum(ones, run, num_segments=n)[run]
+        rstart = jax.lax.cummax(jnp.where(~same, idx, 0))
+        rchange_end = jnp.concatenate([~same[1:], jnp.ones((1,), bool)])
+        rend = jax.lax.cummin(jnp.where(rchange_end, idx, n - 1),
+                              reverse=True)
+        inc_asc = jnp.cumsum(asc_i)
+        ex_asc = inc_asc - asc_i
+        run_sum = (inc_asc[rend] - ex_asc[rstart]).astype(jnp.float32)
+        run_cnt = (rend - rstart + 1).astype(jnp.float32)
         avg_rank = run_sum / run_cnt + 1.0
-        spr = segsum(avg_rank * lab)
-        auc_g = (spr - pos_g * (pos_g + 1.0) / 2.0) \
-            / jnp.maximum(pos_g * neg_g, 1.0)
+        cols["spr"] = avg_rank * lab
+        cols["ones"] = jnp.ones_like(lab)   # group sizes for neg counts
 
-    if "MRR0" in names:
-        masked_rank = jnp.where(lab > 0, rank, jnp.inf)
-        first = jax.ops.segment_min(masked_rank, seg, num_segments=n)
-        mrr0_g = jnp.where(jnp.isfinite(first), 1.0 / first, 0.0)
+    # ---- the ONE stacked segment scatter --------------------------------
+    seg = jnp.cumsum(change.astype(jnp.int32)) - 1        # dense 0..G-1
+    num_groups = change.sum(dtype=jnp.int32)
+    gvalid = idx < num_groups                             # per-group mask
+    keys = list(cols)
+    stacked = jnp.stack([cols[c] for c in keys], axis=1)   # (n, m)
+    seg_tot = jax.ops.segment_sum(stacked, seg, num_segments=n)
+    tot = {c: seg_tot[:, i] for i, c in enumerate(keys)}
 
-    if "LRAP" in names:
-        cum = jnp.cumsum(lab)
-        cum_shift = jnp.concatenate([jnp.zeros((1,), jnp.float32), cum[:-1]])
-        cum_in = cum - cum_shift[starts]
-        prec = jnp.where(lab > 0, cum_in / rank, 0.0)
-        lrap_g = jnp.where(pos_g > 0, segsum(prec) / safe_pos, 1.0)
+    # all per-group values below are indexed by dense segment id (the
+    # scatter output), NOT by sorted-element position
+    pos_g = tot["lab"]
+    out = {}
 
     for name, k, key in specs:
         if name == "GAUC":
+            size_g = tot["ones"]
+            neg_g = size_g - pos_g
+            auc_g = (tot["spr"] - pos_g * (pos_g + 1.0) / 2.0) \
+                / jnp.maximum(pos_g * neg_g, 1.0)
             out[key] = _gmean(auc_g, gvalid & (pos_g > 0) & (neg_g > 0))
         elif name == "MRR":
-            out[key] = _gmean(segsum(lab / rank) / safe_pos,
+            out[key] = _gmean(tot["mrr"] / jnp.maximum(pos_g, 1.0),
                               gvalid & (pos_g > 0))
         elif name == "MRR0":
-            out[key] = _gmean(mrr0_g, gvalid)
+            out[key] = _gmean(tot["mrr0"], gvalid)
         elif name == "LRAP":
-            out[key] = _gmean(lrap_g, gvalid)
+            out[key] = _gmean(
+                jnp.where(pos_g > 0,
+                          tot["lrap"] / jnp.maximum(pos_g, 1.0), 1.0),
+                gvalid)
         elif name == "NDCG":
-            disc = 1.0 / jnp.log2(rank + 1.0)
-            take = rank <= k
-            dcg = segsum(lab * disc * take)
-            ideal_take = rank <= jnp.minimum(pos_g[seg], float(k))
-            idcg = segsum(disc * ideal_take)
-            val = jnp.where(idcg > 0, dcg / jnp.maximum(idcg, 1e-30), 0.0)
+            idcg = tot[f"idcg{k}"]
+            val = jnp.where(idcg > 0,
+                            tot[f"dcg{k}"] / jnp.maximum(idcg, 1e-30), 0.0)
             out[key] = _gmean(val, gvalid)
         elif name == "HitRatio":
-            hits = segsum(lab * (rank <= k))
-            out[key] = _gmean((hits > 0).astype(jnp.float32), gvalid)
+            out[key] = _gmean((tot[f"hits{k}"] > 0).astype(jnp.float32),
+                              gvalid)
         elif name == "Recall":
-            hits = segsum(lab * (rank <= k))
-            out[key] = _gmean(hits / safe_pos, gvalid & (pos_g > 0))
+            out[key] = _gmean(tot[f"hits{k}"] / jnp.maximum(pos_g, 1.0),
+                              gvalid & (pos_g > 0))
         else:  # pragma: no cover — guarded by DEVICE_SUPPORTED
             raise ValueError(f"unsupported device metric {name}")
     return out
