@@ -115,7 +115,14 @@ def _roofline(dp, m, params, idx, fwd_t, fb_t):
     """XLA cost-analysis roofline for the fwd and fwd+bwd graphs: achieved
     TFLOP/s and HBM GB/s per phase plus which wall (MXU flops vs HBM
     bytes) each phase sits against — so the next lever is chosen by
-    measurement, not guess (VERDICT r4 item 7)."""
+    measurement, not guess (VERDICT r4 item 7).
+
+    Caveat: cost_analysis counts HLO-level bytes BEFORE fusion, so
+    achieved GB/s can exceed the physical peak (fused elementwise chains
+    never touch HBM); >100% readings mean "deep inside the bandwidth
+    wall", not faster-than-light memory. v5e measurement: NAML@32k bwd
+    36.6 GB in 59 ms = 75% of physical peak — the step is HBM-bound and
+    the next lever is byte reduction, not FLOPs."""
     import jax
 
     def costs(fn_builder):

@@ -5,12 +5,15 @@ fast-eval cache flow of §3.3 (tester.py:54-77). Scores for padded tail rows
 are dropped before metric computation.
 
 TPU redesign of the hot loop: the reference iterates host mini-batches and
-round-trips scores per batch (base_lego.py:349-398). Here, once the repr
-caches are built, the WHOLE phase's (user, candidate) index columns already
-live in HBM; one jitted lax.scan gathers reprs and scores every interaction
-page on device, and the host sees a single (n,) score transfer at the end.
-The host-batched `collect_scores` path remains for full-forward (uncached)
-models and per-batch latency measurement (tester.py --latency).
+round-trips scores per batch (base_lego.py:349-398). Here the WHOLE phase's
+(user, candidate) index columns live in HBM and one jitted lax.scan scores
+every interaction page on device — via repr-cache gathers when the model
+caches (score_phase_device), or full forwards with in-jit history gathers
+when it cannot (score_phase_device_full, round 5). When every metric is
+device-supported the scores never leave HBM (runtime/device_metrics.py);
+otherwise a single (n,) transfer feeds the numpy pool. The host-batched
+`collect_scores` path remains only for per-batch latency measurement
+(tester.py --latency) and max_batches-truncated sweeps.
 """
 from typing import Dict, Optional
 
