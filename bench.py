@@ -181,6 +181,13 @@ def main(argv=()):
                    "item_config": {"dropout": 0.1, "kernel_size": 3}},
     }
     cli = parse_cli(list(argv))
+    if cli.get("item_page_size"):
+        # byte-reduction experiment knob: page+remat the catalog encode —
+        # the roofline says the step is HBM-bound, so trading backward
+        # bytes for recompute FLOPs can pay on this model too
+        model_cfg["config"]["item_page_size"] = int(cli["item_page_size"])
+        model_cfg["config"]["item_page_remat"] = str(
+            cli.get("remat") or "full")
     if cli.get("batch_size"):
         batches = [int(cli["batch_size"])]
     else:
