@@ -146,6 +146,7 @@ class Evaluator:
         self._full_phases: Dict[str, _DevicePhase] = {}
         self._full_scorer = None
         self._full_substrate = None
+        self._fused_pool_fns: Dict = {}
 
     def _get_full_step(self):
         if self._full_step is None:
@@ -199,6 +200,28 @@ class Evaluator:
             else:
                 self._scorer = jax.jit(score_all)
         return self._scorer
+
+    def _metric_specs(self):
+        return tuple((m.name, int(getattr(m, "n", 0) or 0), str(m))
+                     for m in self.pool.metrics)
+
+    def _pooled(self, kind: str, phase: str, scorer, n: int):
+        """Score-then-metrics as ONE jitted dispatch (the axon tunnel
+        charges ~27 ms fixed per call; two calls were a fifth of the
+        steady-state eval). `scorer` is the already-jitted phase scorer —
+        calling it inside jit inlines the scan."""
+        key = (kind, phase)
+        if key not in self._fused_pool_fns:
+            from legommenders_tpu.runtime.device_metrics import _compute
+            specs = self._metric_specs()
+
+            def fused(params, *args):
+                labels, groups = args[-2], args[-1]
+                scores = scorer(params, *args[:-2])[:n]
+                return _compute(scores, labels, groups, specs)
+
+            self._fused_pool_fns[key] = jax.jit(fused)
+        return self._fused_pool_fns[key]
 
     def score_phase_device(self, params, phase: str) -> np.ndarray:
         """Cached fast-eval over a whole phase with zero per-batch host
@@ -314,12 +337,13 @@ class Evaluator:
                 # jitted metric pool returns a handful of scalars
                 ph = self._get_device_phase(phase)
                 if self.pool.supports_device:
-                    scorer = self._get_scorer()
-                    scores_dev = scorer(
+                    fused = self._pooled("cached", phase,
+                                         self._get_scorer(), ph.n)
+                    vals = jax.device_get(fused(
                         params, self.cache.item_repr, self.cache.user_repr,
-                        ph.u_pages, ph.i_pages)[:ph.n]
-                    return self.pool.calculate_device(
-                        scores_dev, ph.labels_d, ph.groups_d)
+                        ph.u_pages, ph.i_pages, ph.labels_d, ph.groups_d))
+                    return {str(m): float(vals[str(m)])
+                            for m in self.pool.metrics}
                 scores = self.score_phase_device(params, phase)
                 return self.pool(scores, ph.labels, ph.groups)
             cached = self._get_cached_step()
@@ -332,10 +356,15 @@ class Evaluator:
                 # device — no host batch loop, one D2H (or none, when the
                 # metric pool is device-supported too)
                 ph = self._get_full_phase(phase)
-                scores_dev = self.score_phase_device_full(params, phase)
                 if self.pool.supports_device:
-                    return self.pool.calculate_device(
-                        scores_dev, ph.labels_d, ph.groups_d)
+                    fused = self._pooled("full", phase,
+                                         self._get_full_scorer(), ph.n)
+                    vals = jax.device_get(fused(
+                        params, self._full_substrate, ph.u_pages,
+                        ph.i_pages, ph.labels_d, ph.groups_d))
+                    return {str(m): float(vals[str(m)])
+                            for m in self.pool.metrics}
+                scores_dev = self.score_phase_device_full(params, phase)
                 return self.pool(np.asarray(scores_dev), ph.labels,
                                  ph.groups)
             step = self._get_full_step()
