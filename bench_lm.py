@@ -64,7 +64,12 @@ def main(argv):
         batch_size = int(cli.get("batch_size") or 65536)
         tune_from = int(cli.get("tune_from") or 10)
         n_layers, d_model, n_heads = 12, 768, 12
-        page_size = int(cli.get("item_page_size") or 4096)
+        # page sweep (round 5, ffn remat + aligned cache): 8192: 8,548 /
+        # 4096: 8,933 / 2048: 9,133 / 1024: 9,557 / 512: 10,029 /
+        # 256: 10,091 impr/s @ 16384 — smaller pages keep the remat
+        # working set resident; 512 is the default (256 is +0.6% but
+        # doubles scan length at bigger catalogs)
+        page_size = int(cli.get("item_page_size") or 512)
         n_steps = int(cli.get("steps") or 10)
     neg_count = 4
     K = neg_count + 1
