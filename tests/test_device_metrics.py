@@ -64,6 +64,28 @@ def test_device_matches_numpy_degenerate_groups():
         assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
 
 
+def test_device_matches_numpy_large_prefix():
+    """Accuracy stress for the scatter-free engine: at large n the global
+    double-float prefix is ~1e5 while group totals are ~1 — a plain f32
+    cumsum differenced at boundaries would be wrong in the SECOND decimal
+    here. 400k rows, 20k groups, heavy ties."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    sizes = rng.integers(5, 35, 20_000)
+    groups = np.repeat(np.arange(20_000), sizes)
+    n = len(groups)
+    scores = np.round(rng.standard_normal(n) * 8) / 8
+    labels = (rng.random(n) < 0.25).astype(np.float32)
+    pool = MetricPool.parse(ALL)
+    want = pool(scores, labels, groups)
+    got = pool.calculate_device(jnp.asarray(scores, jnp.float32),
+                                jnp.asarray(labels),
+                                jnp.asarray(groups.astype(np.int32)))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+
+
 def test_device_fallback_for_pointwise():
     """AUC/LogLoss are host-only: calculate_device transparently falls
     back to the numpy engine (one D2H) with identical values."""

@@ -77,6 +77,12 @@ def main():
 
     ph = ev._get_device_phase("test")
     scorer = ev._get_scorer()
+    # warm the STANDALONE scorer/metric executables first — the hot eval
+    # path runs them fused in one program, so these would otherwise time
+    # their own compiles
+    scores_dev = scorer(params, m.cache.item_repr, m.cache.user_repr,
+                        ph.u_pages, ph.i_pages)[:ph.n]
+    ev.pool.calculate_device(scores_dev, ph.labels_d, ph.groups_d)
     t0 = time.perf_counter()
     scores_dev = scorer(params, m.cache.item_repr, m.cache.user_repr,
                         ph.u_pages, ph.i_pages)[:ph.n]
