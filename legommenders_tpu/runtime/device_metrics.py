@@ -45,9 +45,17 @@ def _gmean(vals, valid):
     return jnp.where(cnt > 0, m0 + corr / jnp.maximum(cnt, 1.0), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("specs",))
-def _compute(scores, labels, groups, specs: Tuple[Tuple[str, int, str], ...]):
-    """specs: ((metric_name, k, output_key), ...) — static per phase."""
+@functools.partial(jax.jit, static_argnames=("specs", "max_groups"))
+def _compute(scores, labels, groups, specs: Tuple[Tuple[str, int, str], ...],
+             max_groups: int = 0):
+    """specs: ((metric_name, k, output_key), ...) — static per phase.
+    max_groups: static upper bound on the DISTINCT group count (0 = use
+    n). The stacked scatter's cost is OUTPUT-size bound on the v5e
+    (126 ms at width n vs 28 ms at width 65k for the same 1.75M updates),
+    so callers that know the group count host-side (the evaluator does,
+    once per phase) shrink the dominant kernel ~4x. A bound that is too
+    SMALL would silently drop updates — callers must pass an exact
+    distinct-count or a true upper bound."""
     n = scores.shape[0]
     scores = scores.astype(jnp.float32)
     labels = labels.astype(jnp.float32)
@@ -136,10 +144,11 @@ def _compute(scores, labels, groups, specs: Tuple[Tuple[str, int, str], ...]):
     # ---- the ONE stacked segment scatter --------------------------------
     seg = jnp.cumsum(change.astype(jnp.int32)) - 1        # dense 0..G-1
     num_groups = change.sum(dtype=jnp.int32)
-    gvalid = idx < num_groups                             # per-group mask
+    ns = int(max_groups) if max_groups else n
+    gvalid = jnp.arange(ns, dtype=jnp.int32) < num_groups  # per-group mask
     keys = list(cols)
     stacked = jnp.stack([cols[c] for c in keys], axis=1)   # (n, m)
-    seg_tot = jax.ops.segment_sum(stacked, seg, num_segments=n)
+    seg_tot = jax.ops.segment_sum(stacked, seg, num_segments=ns)
     tot = {c: seg_tot[:, i] for i, c in enumerate(keys)}
 
     # all per-group values below are indexed by dense segment id (the
@@ -180,10 +189,11 @@ def _compute(scores, labels, groups, specs: Tuple[Tuple[str, int, str], ...]):
     return out
 
 
-def compute_device(metrics, scores, labels, groups):
+def compute_device(metrics, scores, labels, groups, max_groups: int = 0):
     """Run the engine for MetricPool `metrics` on device arrays; returns
     {str(metric): float} after ONE host sync of scalar outputs."""
     specs = tuple((m.name, int(getattr(m, "n", 0) or 0), str(m))
                   for m in metrics)
-    vals = jax.device_get(_compute(scores, labels, groups, specs))
+    vals = jax.device_get(_compute(scores, labels, groups, specs,
+                                   max_groups))
     return {key: float(vals[key]) for _, _, key in specs}

@@ -105,6 +105,10 @@ class _DevicePhase:
             place = lambda v: jax.device_put(jnp.asarray(v), repl)
         self.labels_d = place(self.labels)
         self.groups_d = place(self.groups.astype(np.int32))
+        # exact distinct-group count (one host pass at phase setup): the
+        # device metric engine's scatter is output-size bound, so this
+        # shrinks its dominant kernel ~4x at MIND scale
+        self.num_groups = int(len(np.unique(self.groups)))
         page = min(page, max(8, self.n))
         if mesh is not None:
             # page rows shard over dp — width must divide evenly
@@ -205,11 +209,14 @@ class Evaluator:
         return tuple((m.name, int(getattr(m, "n", 0) or 0), str(m))
                      for m in self.pool.metrics)
 
-    def _pooled(self, kind: str, phase: str, scorer, n: int):
+    def _pooled(self, kind: str, phase: str, scorer, n: int,
+                max_groups: int = 0):
         """Score-then-metrics as ONE jitted dispatch (the axon tunnel
         charges ~27 ms fixed per call; two calls were a fifth of the
         steady-state eval). `scorer` is the already-jitted phase scorer —
-        calling it inside jit inlines the scan."""
+        calling it inside jit inlines the scan. `max_groups` bounds the
+        metric engine's scatter width (exact distinct count from the
+        phase setup)."""
         key = (kind, phase)
         if key not in self._fused_pool_fns:
             from legommenders_tpu.runtime.device_metrics import _compute
@@ -218,7 +225,7 @@ class Evaluator:
             def fused(params, *args):
                 labels, groups = args[-2], args[-1]
                 scores = scorer(params, *args[:-2])[:n]
-                return _compute(scores, labels, groups, specs)
+                return _compute(scores, labels, groups, specs, max_groups)
 
             self._fused_pool_fns[key] = jax.jit(fused)
         return self._fused_pool_fns[key]
@@ -338,7 +345,8 @@ class Evaluator:
                 ph = self._get_device_phase(phase)
                 if self.pool.supports_device:
                     fused = self._pooled("cached", phase,
-                                         self._get_scorer(), ph.n)
+                                         self._get_scorer(), ph.n,
+                                         ph.num_groups)
                     vals = jax.device_get(fused(
                         params, self.cache.item_repr, self.cache.user_repr,
                         ph.u_pages, ph.i_pages, ph.labels_d, ph.groups_d))
@@ -358,7 +366,8 @@ class Evaluator:
                 ph = self._get_full_phase(phase)
                 if self.pool.supports_device:
                     fused = self._pooled("full", phase,
-                                         self._get_full_scorer(), ph.n)
+                                         self._get_full_scorer(), ph.n,
+                                         ph.num_groups)
                     vals = jax.device_get(fused(
                         params, self._full_substrate, ph.u_pages,
                         ph.i_pages, ph.labels_d, ph.groups_d))

@@ -305,15 +305,19 @@ class MetricPool:
         return bool(self.metrics) and all(
             m.group and m.name in DEVICE_SUPPORTED for m in self.metrics)
 
-    def calculate_device(self, scores, labels, groups) -> Dict[str, float]:
+    def calculate_device(self, scores, labels, groups,
+                         max_groups: int = 0) -> Dict[str, float]:
         """Compute on DEVICE arrays; falls back to the numpy engine (one
         D2H) when a metric is not device-supported. Value parity with the
-        numpy oracle is pinned by tests/test_device_metrics.py."""
+        numpy oracle is pinned by tests/test_device_metrics.py.
+        `max_groups`: optional static distinct-group bound — shrinks the
+        engine's dominant scatter (see device_metrics._compute)."""
         if not self.supports_device:
             return self.calculate(np.asarray(scores), np.asarray(labels),
                                   np.asarray(groups))
         from legommenders_tpu.runtime.device_metrics import compute_device
-        vals = compute_device(self.metrics, scores, labels, groups)
+        vals = compute_device(self.metrics, scores, labels, groups,
+                              max_groups)
         return OrderedDict((str(m), vals[str(m)]) for m in self.metrics)
 
     @classmethod
