@@ -82,7 +82,8 @@ def main():
     # their own compiles
     scores_dev = scorer(params, m.cache.item_repr, m.cache.user_repr,
                         ph.u_pages, ph.i_pages)[:ph.n]
-    ev.pool.calculate_device(scores_dev, ph.labels_d, ph.groups_d)
+    ev.pool.calculate_device(scores_dev, ph.labels_d, ph.groups_d,
+                             max_groups=ph.num_groups)
     t0 = time.perf_counter()
     scores_dev = scorer(params, m.cache.item_repr, m.cache.user_repr,
                         ph.u_pages, ph.i_pages)[:ph.n]
@@ -90,7 +91,8 @@ def main():
     score_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    res2 = ev.pool.calculate_device(scores_dev, ph.labels_d, ph.groups_d)
+    res2 = ev.pool.calculate_device(scores_dev, ph.labels_d, ph.groups_d,
+                                    max_groups=ph.num_groups)
     metrics_s = time.perf_counter() - t0
 
     # host-pool oracle (also times the OLD metric path for the record)
