@@ -9,6 +9,12 @@ per step; this path ships zero per-batch host traffic).
 
 Run on the real chip:   timeout 900 python tools/eval_bench.py
 CPU (for smoke):        JAX_PLATFORM_NAME=cpu python tools/eval_bench.py --small
+Uncached-path variant:  timeout 1800 python tools/eval_bench.py --uncached
+(`--uncached` swaps the model for MINER — Transformer item op +
+PolyAttention user op, allow_caching=False — so the whole phase runs the
+device-resident FULL-FORWARD scan of evaluator.py:score_phase_device_full
+instead of the repr-cache fast-eval; reference counterpart is the host
+mini-batch loop every non-cached model lives in, base_lego.py:349-398.)
 """
 import json
 import sys
@@ -19,6 +25,7 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     small = "--small" in sys.argv
+    uncached = "--uncached" in sys.argv
     import jax
     import jax.numpy as jnp
     from legommenders_tpu.parallel.mesh import enable_compilation_cache
@@ -40,11 +47,24 @@ def main():
             vocab_size=20000, inters_per_user=35).as_lego_data()
     build_s = time.perf_counter() - t0
 
-    model_cfg = {
-        "meta": {"item": "CNN", "user": "Ada", "predictor": "Dot"},
-        "config": {"use_item_content": True, "hidden_size": 64,
-                   "item_config": {"dropout": 0.1}},
-    }
+    if uncached:
+        # MINER (miner.yaml): PolyAttention user repr is a matrix, so
+        # allow_caching=False and eval takes the full-forward scan path
+        model_cfg = {
+            "meta": {"item": "Transformer", "user": "PolyAttention",
+                     "predictor": "MINER"},
+            "config": {"use_item_content": True, "hidden_size": 64,
+                       "item_config": {"num_attention_heads": 8,
+                                       "num_hidden_layers": 3},
+                       "user_config": {"num_context_codes": 32,
+                                       "context_code_dim": 200}},
+        }
+    else:
+        model_cfg = {
+            "meta": {"item": "CNN", "user": "Ada", "predictor": "Dot"},
+            "config": {"use_item_content": True, "hidden_size": 64,
+                       "item_config": {"dropout": 0.1}},
+        }
     m = Manager({}, model_cfg,
                 exp_cfg={"policy": {"batch_size": 1024, "dtype": "bf16"}},
                 data=data)
@@ -53,6 +73,41 @@ def main():
     params = init_params(m.model, jb0, m.contents.columns, seed=0)
     ev = m.evaluator()
     n_rows = len(data.inters["test"][data.cm.label_col])
+
+    if uncached:
+        assert m.cache is None or not getattr(m.cache, "active", False)
+        t0 = time.perf_counter()
+        res = ev.evaluate(params, "test")
+        cold_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res_steady = ev.evaluate(params, "test")
+        total_s = time.perf_counter() - t0
+        # score-only split (warm the standalone executable first — the
+        # hot path above runs score+metrics fused in one program)
+        ph = ev._get_full_phase("test")
+        jax.block_until_ready(ev.score_phase_device_full(params, "test"))
+        t0 = time.perf_counter()
+        scores_dev = ev.score_phase_device_full(params, "test")
+        jax.block_until_ready(scores_dev)
+        score_s = time.perf_counter() - t0
+        res_host = ev.pool(jax.device_get(scores_dev), ph.labels, ph.groups)
+        for k in res_host:
+            assert abs(res_steady[k] - res_host[k]) < 1e-6, (
+                k, res_steady[k], res_host[k])
+        print(json.dumps({
+            "metric": "evaluator_uncached_rows_per_sec",
+            "value": round(n_rows / total_s, 0),
+            "unit": "rows/s",
+            "rows": n_rows,
+            "total_s": round(total_s, 3),
+            "score_s": round(score_s, 3),
+            "cold_first_eval_s": round(cold_s, 2),
+            "host_fixture_build_s": round(build_s, 1),
+            "gauc": round(float(res_steady.get("GAUC", float("nan"))), 4),
+            "model": "MINER (allow_caching=False, full-forward scan)",
+            "backend": jax.default_backend(),
+        }))
+        return
 
     # --- first evaluate: includes compiles + cache build -----------------
     t0 = time.perf_counter()
