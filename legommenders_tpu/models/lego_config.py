@@ -253,6 +253,19 @@ class LegoConfig:
                 {c: contents.columns[c] for c, _, _ in item_cols},
                 contents.col_vocabs, specs) or None
 
+        # scatter-light backward for the history-repr gather on the same
+        # catalog branch (useful even with frozen embeddings, so built
+        # independently of catalog_plans)
+        history_plan = None
+        if (self.use_item_content and self.full_catalog_encode != "off"
+                and not flatten and item_cols):
+            hm = data.history_matrix()
+            if hm is not None and getattr(hm, "ndim", 0) == 2:
+                from legommenders_tpu.ops.catalog_grad import HistoryGradPlan
+                n_items = int(np.asarray(
+                    contents.columns[item_cols[0][0]]).shape[0])
+                history_plan = HistoryGradPlan(np.asarray(hm), n_items)
+
         model = Legommender(
             embed_specs=specs,
             pretrained=dict(hub.pretrained),
@@ -278,6 +291,7 @@ class LegoConfig:
             item_page_remat=self.item_page_remat,
             full_catalog_encode=self.full_catalog_encode,
             catalog_plans=catalog_plans,
+            catalog_history_plan=history_plan,
             dtype=self.dtype,
         )
         return model, contents, hub

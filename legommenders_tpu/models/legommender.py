@@ -72,6 +72,12 @@ class Legommender(nn.Module):
     # embedding-grad segment-sum for the static catalog lookup (built by
     # LegoConfig from the device token matrices; None disables the rewrite)
     catalog_plans: Optional[dict] = None
+    # ops/catalog_grad.HistoryGradPlan: scatter-light backward for the
+    # history-repr gather in full-catalog mode (the largest single op of
+    # the NAML backward — see the class docstring). Engaged only when the
+    # batch verifiably carries verbatim history-matrix rows: training
+    # mode + a user_id column + matching (S, N); forward is identical
+    catalog_history_plan: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -318,9 +324,22 @@ class Legommender(nn.Module):
                     all_reprs = self.encode_item_content(
                         item_contents, training, catalog=True)  # (N, D)
                     item_repr = jnp.take(all_reprs, safe_cand, axis=0)
-                    clicks = jnp.take(
-                        all_reprs, jnp.clip(hist_ids, 0, num_items - 1),
-                        axis=0)
+                    hp = self.catalog_history_plan
+                    uid = batch.get("user_id")
+                    use_hp = (hp is not None and training
+                              and uid is not None
+                              and hp.matches(hist_ids.shape, num_items))
+                    from legommenders_tpu.ops import catalog_grad
+                    catalog_grad.record_history(use_hp)  # trace-time
+                    if use_hp:
+                        # identical ids (plan bakes the same UNSET->0
+                        # clipped matrix the pipelines gather from);
+                        # backward avoids the B*S-row dynamic scatter
+                        clicks = hp.take(all_reprs, uid)
+                    else:
+                        clicks = jnp.take(
+                            all_reprs,
+                            jnp.clip(hist_ids, 0, num_items - 1), axis=0)
                 else:
                     # one fused item-op pass over candidates + clicks
                     safe_hist = jnp.clip(hist_ids, 0, num_items - 1)

@@ -56,12 +56,18 @@ from legommenders_tpu.data.token_store import UNSET
 # backward active) vs DEAD (fell back to the plain lookup transpose).
 # Written by Legommender._encode_flat; read by tests/benches to assert the
 # fast embedding backward is actually engaged in their configuration.
-last_trace = {"live": (), "dead": ()}
+last_trace = {"live": (), "dead": (), "history": False}
 
 
 def record_trace(live, dead):
     last_trace["live"] = tuple(live)
     last_trace["dead"] = tuple(dead)
+
+
+def record_history(active: bool):
+    """Trace-time flag: True when the last traced catalog forward routed
+    the history-repr backward through a HistoryGradPlan."""
+    last_trace["history"] = bool(active)
 
 
 def _ids_md5(ids) -> bytes:
@@ -156,6 +162,9 @@ class CatalogGradPlan:
 
         take.defvjp(take_fwd, take_bwd)
         self.take = take
+        # public alias for composed plans (HistoryGradPlan): the bare
+        # gather-reduce segment-sum, (\*ids_shape, D) cotangent -> (V, D)
+        self.segment_reduce = lambda g: take_bwd(None, g)[0]
 
     # plans are compared/hashed by identity: they are static per (model,
     # catalog) and may sit in flax module fields
@@ -185,6 +194,83 @@ class CatalogGradPlan:
         if tuple(ids.shape) != self.ids_shape:
             return False
         return _ids_md5(ids) == self.source_md5
+
+
+class HistoryGradPlan:
+    """Scatter-light backward for the HISTORY-repr gather in full-catalog
+    mode (models/legommender.py `use_catalog` branch).
+
+    Forward: `take(all_reprs, u) == jnp.take(all_reprs, H_safe[u], axis=0)`
+    — identical ids to the plain gather (H_safe is the UNSET->0 clipped
+    history matrix, exactly what both pipelines put in batch["history"]).
+    Backward: the autodiff transpose is a scatter-add of B*S dynamic
+    128-byte rows into the (N, D) catalog cotangent — measured 24 ms of
+    the 89 ms NAML step at B=32k on a v5e (tools/naml_profile.py), the
+    single largest op in the HBM-bound backward. Because each user's
+    history row is STATIC, the cotangent factors through the user axis:
+
+      1. segment-sum the (B, S, D) cotangent by user id — B scattered
+         rows of S*D contiguous elements (6.4 KB at NAML geometry),
+         ~50x fewer and ~50x larger rows than the naive scatter;
+      2. a precomputed CatalogGradPlan over the flattened (U*S,) history
+         ids gather-reduces into (N, D) with no dynamic scatter at all
+         (the by-user partial sums of step 1 distribute over the static
+         segment-sum: d_cat[i] = sum_{(u,s): H[u,s]=i} gu[u,s]).
+
+    ONLY valid when batch history rows are verbatim H[user_id]; the gate
+    in Legommender.__call__ additionally requires training mode, a
+    "user_id" batch column, and matching (S, N). Both shipped pipelines
+    (data/pipeline.py TrainBatcher, data/device_pipeline.py assemble)
+    satisfy it by construction. No reference counterpart — the torch
+    backward is a CUDA scatter-add (reference legommender.py:174-190
+    per-occurrence loop never had a catalog-level gather to transpose).
+    """
+
+    def __init__(self, hist: np.ndarray, num_items: int, fanout: int = 8):
+        hist = np.asarray(hist)
+        self.num_users, self.seq_len = (int(hist.shape[0]),
+                                        int(hist.shape[1]))
+        self.num_rows = int(num_items)
+        self.inner = CatalogGradPlan(hist, num_items, fanout=fanout,
+                                     name="history")
+        # the UNSET->0 clipped matrix the inner plan already baked
+        self._hist_dev = self.inner._safe_dev
+        U, S = self.num_users, self.seq_len
+        inner_reduce = self.inner.segment_reduce
+
+        @jax.custom_vjp
+        def take(table, u):
+            ids = jnp.take(self._hist_dev, jnp.clip(u, 0, U - 1), axis=0)
+            return jnp.take(table, ids, axis=0)
+
+        def take_fwd(table, u):
+            return take(table, u), u
+
+        def take_bwd(u, g):
+            D = g.shape[-1]
+            uc = jnp.clip(u, 0, U - 1)
+            # 2-D operand: one scattered row per batch element (S*D
+            # contiguous) — measured 6.95 ms vs 8.09 ms for the 3-D form
+            # at B=32k on the v5e (tools/histgrad_bench.py)
+            gu = jnp.zeros((U, S * D), g.dtype).at[uc].add(
+                g.reshape(-1, S * D))
+            return (inner_reduce(gu.reshape(U, S, D)),
+                    np.zeros(np.shape(u), jax.dtypes.float0))
+
+        take.defvjp(take_fwd, take_bwd)
+        self.take = take
+
+    def matches(self, hist_shape, num_items: int) -> bool:
+        """Shape gate: (B, S) batch history against this plan's (S, N)."""
+        return (len(hist_shape) == 2 and int(hist_shape[1]) == self.seq_len
+                and int(num_items) == self.num_rows)
+
+    # identity semantics (may sit in flax module fields), like CatalogGradPlan
+    def __eq__(self, other):
+        return self is other
+
+    def __hash__(self):
+        return id(self)
 
 
 def build_catalog_plans(columns, col_vocabs, specs, fanout: int = 8):

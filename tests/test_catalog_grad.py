@@ -182,3 +182,90 @@ def test_plan_activation_guard_bench_configuration():
     params2, _, loss2 = step2(params, opt_state2, idx0, 0)
     jax.block_until_ready(loss2)
     assert col in catalog_grad.last_trace["dead"]
+
+
+# --------------------------------------------------------------------- #
+# HistoryGradPlan: scatter-light history-repr backward                  #
+# --------------------------------------------------------------------- #
+def test_history_plan_forward_and_grad_match_naive():
+    """take(table, u) must equal the plain gather of H_safe[u] forward,
+    and its table-gradient must match the autodiff scatter-add."""
+    from legommenders_tpu.ops.catalog_grad import HistoryGradPlan
+
+    rng = np.random.default_rng(3)
+    U, S, N, D, B = 37, 9, 50, 8, 21
+    H = rng.integers(0, N, size=(U, S)).astype(np.int32)
+    H[rng.random((U, S)) < 0.2] = UNSET          # padded slots -> item 0
+    plan = HistoryGradPlan(H, N)
+    u = jnp.asarray(rng.integers(0, U, size=B).astype(np.int32))
+    table = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    # quarter-integer cotangents: every partial sum is exact in f32
+    cot = jnp.asarray(
+        rng.integers(-8, 8, size=(B, S, D)).astype(np.float32) * 0.25)
+
+    safe = np.clip(np.where(H == UNSET, 0, H), 0, N - 1)
+    ref_fwd = jnp.take(table, jnp.asarray(safe)[u], axis=0)
+    np.testing.assert_array_equal(np.asarray(plan.take(table, u)),
+                                  np.asarray(ref_fwd))
+
+    gp = jax.grad(lambda t: jnp.vdot(plan.take(t, u), cot))(table)
+    gr = jax.grad(
+        lambda t: jnp.vdot(jnp.take(t, jnp.asarray(safe)[u], axis=0),
+                           cot))(table)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=0, atol=1e-6)
+
+
+def test_history_plan_gate_train_only():
+    """The model gate: plan engaged on the training catalog branch
+    (both pipelines ship verbatim H[user_id] rows), NOT at eval; loss
+    and gradients are unchanged by the rewrite."""
+    import dataclasses
+
+    from legommenders_tpu.data.device_pipeline import DeviceTrainPipeline
+    from legommenders_tpu.data.processors.synthetic import SyntheticProcessor
+    from legommenders_tpu.ops import catalog_grad
+    from legommenders_tpu.runtime.manager import Manager
+    from legommenders_tpu.runtime.steps import init_params
+
+    data = SyntheticProcessor(num_items=60, num_users=30, title_len=8,
+                              history_len=6, inters_per_user=10
+                              ).as_lego_data()
+    m = Manager({}, {"meta": {"item": "CNN", "user": "Ada",
+                              "predictor": "Dot"},
+                     "config": {"hidden_size": 16, "neg_count": 2,
+                                "full_catalog_encode": "on",
+                                "item_config": {"dropout": 0.0}}},
+                exp_cfg={"policy": {"batch_size": 8}}, data=data)
+    assert m.model.catalog_history_plan is not None
+    dp = DeviceTrainPipeline(data, batch_size=8, neg_count=2, seed=0)
+    idx0 = jnp.asarray(next(dp.epoch_indices(shuffle=False)))
+    batch = dp.assemble(idx0, jax.random.PRNGKey(0))
+    params = init_params(m.model, batch, m.contents.columns, seed=0)
+    cols = {c: jnp.asarray(a) for c, a in m.contents.columns.items()}
+
+    model_on = m.model
+    model_off = dataclasses.replace(model_on, catalog_history_plan=None)
+
+    def loss(p, mdl, training):
+        s = mdl.apply(p, batch, cols, training=training,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+        return (s ** 2).mean()
+
+    g_on = jax.grad(lambda p: loss(p, model_on, True))(params)
+    assert catalog_grad.last_trace["history"]
+    g_off = jax.grad(lambda p: loss(p, model_off, True))(params)
+    assert not catalog_grad.last_trace["history"]
+    np.testing.assert_allclose(
+        float(loss(params, model_on, True)),
+        float(loss(params, model_off, True)), rtol=0, atol=0)
+
+    flat_off = dict(jax.tree_util.tree_leaves_with_path(g_off))
+    for path, a in jax.tree_util.tree_leaves_with_path(g_on):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(flat_off[path]),
+            rtol=1e-5, atol=1e-7, err_msg=jax.tree_util.keystr(path))
+
+    # eval (training=False) must NOT engage the plan
+    model_on.apply(params, batch, cols, training=False)
+    assert not catalog_grad.last_trace["history"]
